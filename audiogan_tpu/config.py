@@ -1,0 +1,252 @@
+"""Typed config tree + the five named presets mirroring BASELINE.json configs.
+
+Reference equivalent: argparse flags (SURVEY.md C19). Here every experiment is
+a frozen dataclass tree; presets map 1:1 onto BASELINE.json lines 7-11:
+
+  tiny_sc09      [B:7]  tiny unconditional WaveGAN, batch 8, CPU-runnable
+  wgan_gp_b64    [B:8]  WGAN-GP + phase shuffle, batch 64, full ingest fusion
+  cond_gru_sc09  [B:9]  class-conditional GRU (SampleRNN-style) generator
+  dual_stft      [B:10] dual discriminator (raw conv + STFT critic) +
+                        multi-resolution spectral loss
+  music_44k_dp16 [B:11] 4 s 44.1 kHz clips, data-parallel over 16 chips
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class DataCfg:
+    """On-device ingest pipeline config (SURVEY C1-C6)."""
+
+    data_dir: str = ""              # corpus dir; "" -> synthetic fixture corpus
+    sample_rate: int = 16000        # model rate (Hz)
+    source_rate: int = 16000        # corpus rate (Hz); != sample_rate -> on-device resample
+    clip_len: int = 16384           # T: model-rate samples fed to the GAN
+    store_len: int = 16384          # host-stored samples per clip, at source_rate
+    mu_law: bool = True             # mu-law compand inside ingest (C3)
+    mu: float = 255.0
+    normalize: str = "peak"         # peak | rms | none  (C5)
+    norm_target: float = 0.999
+    num_classes: int = 0            # 0 = unconditional; SC09 = 10
+    resample_taps_per_phase: int = 10   # windowed-sinc halfwidth per phase (C2)
+    resample_beta: float = 5.0      # Kaiser beta for the anti-alias filter
+
+    @property
+    def resampled_len(self) -> int:
+        """Length of a store_len clip after source->model rate conversion."""
+        up, down = _ratio(self.sample_rate, self.source_rate)
+        return -(-self.store_len * up // down)  # ceil
+
+
+@dataclass(frozen=True)
+class ModelCfg:
+    """Generator/discriminator architecture (SURVEY C7-C11, C15)."""
+
+    generator: str = "wavegan"      # wavegan | gru
+    latent_dim: int = 100
+    model_dim: int = 64             # channel base d; G top width = d * 2**(L-1)
+    kernel_size: int = 25
+    strides: tuple[int, ...] = (4, 4, 4, 4, 4)   # per upsample/downsample layer
+    phase_shuffle: int = 2          # max |shift| between D conv layers (C10)
+    use_stft_critic: bool = False   # dual discriminator (C11)
+    stft_resolutions: tuple[tuple[int, int, int], ...] = (
+        (512, 128, 512), (1024, 256, 1024), (2048, 512, 2048),
+    )                               # (n_fft, hop, win) triples
+    # GRU generator (C8): frame-level RNN, one scan step per frame
+    gru_frame_size: int = 64        # samples per frame BEFORE conv upsampling
+    gru_hidden: int = 512
+    embed_dim: int = 64             # label embedding width (C15)
+    max_channels: int = 1024        # cap on widest conv layer
+
+    @property
+    def total_stride(self) -> int:
+        return math.prod(self.strides)
+
+
+@dataclass(frozen=True)
+class LossCfg:
+    """WGAN-GP + spectral losses (SURVEY C12-C13)."""
+
+    gp_lambda: float = 10.0
+    n_critic: int = 5
+    stft_loss_weight: float = 0.0   # aux multi-res spectral term on G (dual_stft)
+    drift_epsilon: float = 0.0      # optional D-score drift penalty (off by default)
+
+
+@dataclass(frozen=True)
+class TrainCfg:
+    batch_size: int = 64            # GLOBAL batch per D micro-step
+    lr_g: float = 1e-4
+    lr_d: float = 1e-4
+    beta1: float = 0.5
+    beta2: float = 0.9
+    total_steps: int = 200_000
+    log_every: int = 50
+    ckpt_every: int = 1000
+    sample_every: int = 2000
+    keep_ckpts: int = 3
+    seed: int = 0
+    remat_discriminator: bool = True   # checkpoint D fwd inside the n_critic scan
+    kernels: str = "xla"            # xla | pallas — A1 fast path selector
+    dtype: str = "float32"          # compute dtype for conv stacks
+
+
+@dataclass(frozen=True)
+class MeshCfg:
+    """Device mesh axes. dp * cp must divide/equal len(jax.devices())."""
+
+    dp: int = 1                     # data-parallel axis size
+    cp: int = 1                     # context (time-axis) parallel size
+
+
+@dataclass(frozen=True)
+class Config:
+    name: str = "default"
+    data: DataCfg = field(default_factory=DataCfg)
+    model: ModelCfg = field(default_factory=ModelCfg)
+    loss: LossCfg = field(default_factory=LossCfg)
+    train: TrainCfg = field(default_factory=TrainCfg)
+    mesh: MeshCfg = field(default_factory=MeshCfg)
+
+    def validate(self) -> "Config":
+        d, m = self.data, self.model
+        if m.generator == "wavegan":
+            if d.clip_len % m.total_stride != 0:
+                raise ValueError(
+                    f"clip_len={d.clip_len} not divisible by total stride "
+                    f"{m.total_stride} (strides={m.strides})")
+        if m.generator == "gru":
+            if d.clip_len % (m.gru_frame_size) != 0:
+                raise ValueError("clip_len must be divisible by gru_frame_size")
+        if d.resampled_len < d.clip_len:
+            raise ValueError(
+                f"resampled corpus clips ({d.resampled_len}) shorter than "
+                f"clip_len ({d.clip_len}); increase store_len")
+        if self.train.batch_size % self.mesh.dp != 0:
+            raise ValueError("batch_size must be divisible by mesh.dp")
+        if d.clip_len % self.mesh.cp != 0:
+            raise ValueError("clip_len must be divisible by mesh.cp")
+        return self
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        raw = json.loads(s)
+        return Config(
+            name=raw.get("name", "default"),
+            data=_build(DataCfg, raw.get("data", {})),
+            model=_build(ModelCfg, raw.get("model", {})),
+            loss=_build(LossCfg, raw.get("loss", {})),
+            train=_build(TrainCfg, raw.get("train", {})),
+            mesh=_build(MeshCfg, raw.get("mesh", {})),
+        )
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _build(cls, raw: dict):
+    kw = {}
+    for f in dataclasses.fields(cls):
+        if f.name in raw:
+            v = raw[f.name]
+            if isinstance(v, list):
+                v = tuple(tuple(e) if isinstance(e, list) else e for e in v)
+            kw[f.name] = v
+    return cls(**kw)
+
+
+def _ratio(target: int, source: int) -> tuple[int, int]:
+    g = math.gcd(target, source)
+    return target // g, source // g
+
+
+# ---------------------------------------------------------------------------
+# Presets [B:7-11]
+# ---------------------------------------------------------------------------
+
+def tiny_sc09() -> Config:
+    """[B:7] Tiny unconditional WaveGAN on SC09-shaped clips, batch 8, CPU-ok."""
+    return Config(
+        name="tiny_sc09",
+        data=DataCfg(num_classes=0),
+        model=ModelCfg(generator="wavegan", model_dim=16, max_channels=256),
+        loss=LossCfg(n_critic=2),
+        train=TrainCfg(batch_size=8, total_steps=2000, log_every=10),
+    ).validate()
+
+
+def wgan_gp_b64() -> Config:
+    """[B:8] Flagship: WGAN-GP + phase shuffle, batch 64, fused ingest."""
+    return Config(
+        name="wgan_gp_b64",
+        data=DataCfg(num_classes=0),
+        model=ModelCfg(generator="wavegan", model_dim=64),
+        loss=LossCfg(n_critic=5),
+        train=TrainCfg(batch_size=64),
+    ).validate()
+
+
+def cond_gru_sc09() -> Config:
+    """[B:9] Class-conditional GRU (SampleRNN-style frame RNN) generator."""
+    return Config(
+        name="cond_gru_sc09",
+        data=DataCfg(num_classes=10),
+        model=ModelCfg(generator="gru", model_dim=64,
+                       gru_frame_size=64, gru_hidden=512),
+        loss=LossCfg(n_critic=5),
+        train=TrainCfg(batch_size=64),
+    ).validate()
+
+
+def dual_stft() -> Config:
+    """[B:10] Dual discriminator (conv + STFT critic) + multi-res STFT loss."""
+    return Config(
+        name="dual_stft",
+        data=DataCfg(num_classes=0),
+        model=ModelCfg(generator="wavegan", model_dim=64, use_stft_critic=True),
+        loss=LossCfg(n_critic=5, stft_loss_weight=1.0),
+        train=TrainCfg(batch_size=64),
+    ).validate()
+
+
+def music_44k_dp16() -> Config:
+    """[B:11] 4 s 44.1 kHz music clips, data-parallel WGAN-GP over 16 chips.
+
+    176400 = 48 * 3 * 5 * 5 * 7 * 7: per-layer strides (7, 7, 5, 5, 3)
+    upsample a 48-frame base to the full clip.
+    """
+    return Config(
+        name="music_44k_dp16",
+        data=DataCfg(sample_rate=44100, source_rate=44100,
+                     clip_len=176400, store_len=220500,  # store 5 s, crop 4 s
+                     num_classes=0),
+        model=ModelCfg(generator="wavegan", model_dim=64,
+                       strides=(7, 7, 5, 5, 3), kernel_size=25),
+        loss=LossCfg(n_critic=5),
+        train=TrainCfg(batch_size=64),
+        mesh=MeshCfg(dp=16, cp=1),
+    ).validate()
+
+
+PRESETS = {
+    "tiny_sc09": tiny_sc09,
+    "wgan_gp_b64": wgan_gp_b64,
+    "cond_gru_sc09": cond_gru_sc09,
+    "dual_stft": dual_stft,
+    "music_44k_dp16": music_44k_dp16,
+}
+
+
+def get_preset(name: str) -> Config:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name]()

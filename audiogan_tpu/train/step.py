@@ -1,0 +1,160 @@
+"""The single-jit WGAN-GP training step (SURVEY C13/C14, §3.4; [B:5]).
+
+Reference equivalent: the Python-orchestrated hot loop of §3.1 — n_critic
+critic updates (each with a fresh real minibatch, a G forward, and a
+gradient-penalty double-backprop) followed by one generator update, every op
+a separate CUDA launch. Here the WHOLE thing — on-device ingest included —
+is ONE compiled XLA graph: a `lax.scan` over the n_critic D micro-steps,
+then the G update. The only host work per step is feeding raw int16 clips.
+
+Step signature (built by `build_train_step`):
+    step_fn(state, raw [n_views, B, store_len] int16,
+            labels [n_views, B] int32) -> (new_state, metrics)
+with n_views = n_critic (+1 when the G spectral-matching term is on, which
+consumes its own real view). Determinism: all randomness folds out of
+(state.base_key, state.step) via utils.prng.split_for_step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from audiogan_tpu.config import Config
+from audiogan_tpu.losses import (batch_spectral_matching_loss,
+                                 gradient_penalty, wgan_d_loss, wgan_g_loss)
+from audiogan_tpu.models import build_discriminator, build_generator
+from audiogan_tpu.ops.ingest import ingest_batch
+from audiogan_tpu.train.state import TrainState, make_optimizers
+from audiogan_tpu.utils.prng import split_for_step
+
+
+def num_views(cfg: Config) -> int:
+    return cfg.loss.n_critic + (1 if cfg.loss.stft_loss_weight > 0 else 0)
+
+
+def build_train_step(cfg: Config) -> Callable[..., tuple[TrainState, dict]]:
+    """Build the pure (state, raw, labels) -> (state, metrics) step.
+
+    The returned function is NOT yet jit'd — the caller jits it with the
+    mesh shardings it wants (train.loop for real runs, tests directly).
+    """
+    g = build_generator(cfg)
+    d = build_discriminator(cfg)
+    opt_g, opt_d = make_optimizers(cfg)
+    n_critic = cfg.loss.n_critic
+    gp_lambda = cfg.loss.gp_lambda
+    stft_w = cfg.loss.stft_loss_weight
+    drift = cfg.loss.drift_epsilon
+    conditional = cfg.data.num_classes > 0
+    latent_dim = cfg.model.latent_dim
+
+    def g_apply(params_g, z, labels):
+        if conditional:
+            return g.apply(params_g, z, labels)
+        return g.apply(params_g, z)
+
+    def d_apply_raw(params_d, x, labels, shuffle_key):
+        kw = dict(train=True, rngs={"phase_shuffle": shuffle_key})
+        if conditional:
+            return d.apply(params_d, x, labels, **kw)
+        return d.apply(params_d, x, **kw)
+
+    # Remat D's forward inside the scan body: the GP double-backprop would
+    # otherwise keep every critic activation live across the whole scan
+    # (SURVEY R5).
+    d_apply = (jax.checkpoint(d_apply_raw)
+               if cfg.train.remat_discriminator else d_apply_raw)
+
+    def sample_labels(key, b):
+        if not conditional:
+            return None
+        return jax.random.randint(key, (b,), 0, cfg.data.num_classes)
+
+    def d_micro_step(params_g, carry, view):
+        """One critic update on one real view (scan body)."""
+        params_d, opt_d_state, step_key = carry
+        raw, labels_real, idx = view
+        k = jax.random.fold_in(step_key, idx)
+        k_crop, k_z, k_eps, k_lab, k_s1, k_s2, k_s3 = jax.random.split(k, 7)
+
+        real = ingest_batch(raw, cfg.data, k_crop)[..., None]   # [B, T, 1]
+        b = real.shape[0]
+        labels_fake = sample_labels(k_lab, b)
+        z = jax.random.normal(k_z, (b, latent_dim))
+        fake = jax.lax.stop_gradient(g_apply(params_g, z, labels_fake))
+        lr = labels_real if conditional else None
+
+        def d_loss_fn(p):
+            real_scores = d_apply(p, real, lr, k_s1)
+            fake_scores = d_apply(p, fake, labels_fake, k_s2)
+            gp, gnorm = gradient_penalty(
+                lambda x: d_apply(p, x, lr, k_s3), real, fake, k_eps)
+            loss = wgan_d_loss(real_scores, fake_scores) + gp_lambda * gp
+            if drift:
+                loss = loss + drift * jnp.mean(jnp.square(real_scores))
+            w_dist = jnp.mean(real_scores) - jnp.mean(fake_scores)
+            return loss, (w_dist, gp, gnorm)
+
+        (d_loss, (w_dist, gp, gnorm)), grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(params_d)
+        updates, opt_d_state = opt_d.update(grads, opt_d_state, params_d)
+        params_d = jax.tree.map(lambda p, u: p + u, params_d, updates)
+        metrics = dict(d_loss=d_loss, w_dist=w_dist, gp=gp, gp_grad_norm=gnorm)
+        return (params_d, opt_d_state, step_key), metrics
+
+    def step_fn(state: TrainState, raw: jnp.ndarray, labels: jnp.ndarray
+                ) -> tuple[TrainState, dict[str, jnp.ndarray]]:
+        (step_key,) = split_for_step(state.base_key, state.step, "step")
+
+        # ---- n_critic critic updates: lax.scan, fresh real view each ----
+        views = (raw[:n_critic], labels[:n_critic],
+                 jnp.arange(n_critic, dtype=jnp.int32))
+        carry = (state.params_d, state.opt_d, step_key)
+        carry, d_metrics = jax.lax.scan(
+            functools.partial(d_micro_step, state.params_g), carry, views)
+        params_d, opt_d_state, _ = carry
+
+        # ---- one generator update ----
+        kg = jax.random.fold_in(step_key, n_critic + 1)
+        k_z, k_lab, k_shuf, k_crop = jax.random.split(kg, 4)
+        b = raw.shape[1]
+        labels_g = sample_labels(k_lab, b)
+
+        if stft_w > 0:
+            real_g = ingest_batch(raw[n_critic], cfg.data, k_crop)
+
+        def g_loss_fn(p):
+            z = jax.random.normal(k_z, (b, latent_dim))
+            fake = g_apply(p, z, labels_g)
+            scores = d_apply(params_d, fake, labels_g, k_shuf)
+            loss = wgan_g_loss(scores)
+            aux = {}
+            if stft_w > 0:
+                sl = batch_spectral_matching_loss(
+                    fake[..., 0], real_g, cfg.model.stft_resolutions)
+                loss = loss + stft_w * sl
+                aux["stft_loss"] = sl
+            return loss, aux
+
+        (g_loss, g_aux), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.params_g)
+        g_updates, opt_g_state = opt_g.update(g_grads, state.opt_g,
+                                              state.params_g)
+        params_g = jax.tree.map(lambda p, u: p + u, state.params_g, g_updates)
+
+        metrics: dict[str, Any] = {k: v[-1] for k, v in d_metrics.items()}
+        metrics["d_loss_mean"] = jnp.mean(d_metrics["d_loss"])
+        metrics["g_loss"] = g_loss
+        metrics.update(g_aux)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params_g=params_g, params_d=params_d,
+            opt_g=opt_g_state, opt_d=opt_d_state)
+        return new_state, metrics
+
+    return step_fn

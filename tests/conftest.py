@@ -7,7 +7,10 @@ scripts under tests_tpu/ (run manually), never by this suite.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the ambient environment sets JAX_PLATFORMS=axon (the real
+# TPU tunnel); running the eager-heavy unit suite over that tunnel is one RPC
+# per op and ~100x slower. The TPU is exercised by bench.py and tests_tpu/.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

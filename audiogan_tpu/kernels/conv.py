@@ -1,0 +1,365 @@
+"""Pallas 1D conv kernels (SURVEY C7/C9 native tier; replaces cuDNN conv).
+
+Kernel strategy (v5e: MXU 128x128, VPU 8x128, VMEM ~16MB/core):
+
+* conv1d (stride s, kernel K): after SAME-padding and reshaping time into
+  [rows, s] "phase rows", output y[t] = sum_j x_rows[t + j//s, j%s] @ w[j] —
+  K shifted [T_tile, Cin_blk] x [Cin_blk, Cout_blk] MXU matmuls per tile,
+  accumulated in an f32 VMEM scratch. Grid (B, T, Cout, Cin) with the Cin
+  axis innermost, revisiting the output block to accumulate channel blocks.
+
+* conv_transpose1d (fractionally strided): polyphase decomposition — output
+  phase rho = u % s collects taps {j : (pad_lo - j) % s == rho} with input
+  row offset q_j = (rho + j - pad_lo) / s, so each tap is again one shifted
+  MXU matmul, accumulated into acc[:, rho, :]; the output is written as
+  [T_rows, s, Cout] and reshaped back outside.
+
+Both wrappers fall back to the XLA path when the shape is hostile to the
+MXU (Cin < MIN_CIN, i.e. the waveform->features first layer) — documented,
+tested, and cheap there anyway.
+
+Input time-blocks overlap by the conv halo, which BlockSpec index maps
+cannot express, so x stays in ANY/HBM memory space and each grid step DMAs
+its (haloed) slice into a VMEM scratch via make_async_copy.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# shapes too skinny for the MXU take the XLA path
+MIN_CIN = 8
+_INTERPRET = False  # flipped by tests on CPU
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _same_pads(t_in: int, k: int, s: int) -> tuple[int, int, int]:
+    """SAME padding for stride-s conv: t_out = ceil(t_in / s)."""
+    t_out = _cdiv(t_in, s)
+    total = max((t_out - 1) * s + k - t_in, 0)
+    lo = total // 2
+    return t_out, lo, total - lo
+
+
+# ---------------------------------------------------------------------------
+# strided conv1d
+# ---------------------------------------------------------------------------
+
+def _conv1d_kernel(x_hbm, w_ref, o_ref, xs, acc, sem, *, k, s, t_tile,
+                   cin_blk, rows_tile):
+    b, ti, co, ci = (pl.program_id(i) for i in range(4))
+    # DMA the haloed input rows for this (b, t, ci) tile: [rows_tile, s, cin]
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(ti * t_tile, rows_tile), :,
+                 pl.ds(ci * cin_blk, cin_blk)],
+        xs, sem)
+    cp.start()
+    cp.wait()
+
+    def tap(j, a):
+        q, r = j // s, j % s
+        lhs = xs[pl.ds(q, t_tile), r, :]              # [t_tile, cin_blk]
+        return a + jnp.dot(lhs, w_ref[j],
+                           preferred_element_type=jnp.float32)
+
+    a = jnp.zeros((t_tile, o_ref.shape[-1]), jnp.float32)
+    for j in range(k):                                 # static unroll
+        a = tap(j, a)
+
+    @pl.when(ci == 0)
+    def _():
+        o_ref[0] = a.astype(o_ref.dtype)
+
+    @pl.when(ci != 0)
+    def _():
+        o_ref[0] = o_ref[0] + a.astype(o_ref.dtype)
+
+
+def _conv1d_pallas(x: jnp.ndarray, w: jnp.ndarray, s: int,
+                   pad_lo: int, pad_hi: int, t_out: int) -> jnp.ndarray:
+    b, t_in, cin = x.shape
+    k, _, cout = w.shape
+    t_tile = min(t_out, 512)
+    n_t = _cdiv(t_out, t_tile)
+    cin_blk = min(cin, 256)
+    cout_blk = min(cout, 256)
+    n_ci, n_co = _cdiv(cin, cin_blk), _cdiv(cout, cout_blk)
+    qmax = (k - 1) // s
+    rows_tile = t_tile + qmax
+
+    # pad time so every tile's haloed DMA stays in bounds:
+    rows_needed = n_t * t_tile + qmax
+    t_pad_total = rows_needed * s
+    x_pad = jnp.pad(x, ((0, 0), (pad_lo, t_pad_total - t_in - pad_lo),
+                        (0, 0)))
+    x_rows = x_pad.reshape(b, rows_needed, s, cin)
+
+    grid = (b, n_t, n_co, n_ci)
+    out = pl.pallas_call(
+        functools.partial(_conv1d_kernel, k=k, s=s, t_tile=t_tile,
+                          cin_blk=cin_blk, rows_tile=rows_tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # x_rows stays in HBM
+            pl.BlockSpec((k, cin_blk, cout_blk),
+                         lambda b_, t_, co_, ci_: (0, ci_, co_),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_tile, cout_blk),
+                               lambda b_, t_, co_, ci_: (b_, t_, co_),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_t * t_tile, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows_tile, s, cin_blk), x.dtype),
+            pltpu.VMEM((1, 1), jnp.float32),           # (unused placeholder)
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t_out * k * cin * cout,
+            bytes_accessed=(b * t_pad_total * cin + k * cin * cout
+                            + b * t_out * cout) * 4,
+            transcendentals=0),
+        interpret=_INTERPRET,
+    )(x_rows, w)
+    return out[:, :t_out, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv1d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
+           padding: Any = "SAME") -> jnp.ndarray:
+    """Strided cross-correlation [B,T,Cin] x [K,Cin,Cout] -> [B,T',Cout].
+
+    padding: "SAME" or explicit (lo, hi). Twice-differentiable (GP path).
+    """
+    return _conv1d_fwd_impl(x, w, stride, padding)
+
+
+def _resolve_pads(t_in, k, stride, padding):
+    if padding == "SAME":
+        return _same_pads(t_in, k, stride)
+    lo, hi = padding
+    t_out = (t_in + lo + hi - k) // stride + 1
+    return t_out, lo, hi
+
+
+def _conv1d_fwd_impl(x, w, stride, padding):
+    t_in, k, cin = x.shape[1], w.shape[0], w.shape[1]
+    t_out, lo, hi = _resolve_pads(t_in, k, stride, padding)
+    if cin < MIN_CIN:
+        return lax.conv_general_dilated(
+            x, w, window_strides=(stride,), padding=[(lo, hi)],
+            dimension_numbers=("NWC", "WIO", "NWC"))
+    return _conv1d_pallas(x, w, stride, lo, hi, t_out)
+
+
+def _conv1d_fwd(x, w, stride, padding):
+    return _conv1d_fwd_impl(x, w, stride, padding), (x, w)
+
+
+def _conv1d_bwd(stride, padding, res, dy):
+    x, w = res
+    k = w.shape[0]
+    t_in = x.shape[1]
+    _, pad_lo, _ = _resolve_pads(t_in, k, stride, padding)
+    # dx: fractionally-strided conv of dy with the flipped/transposed kernel
+    w_flip = jnp.swapaxes(w[::-1], 1, 2)               # [K, Cout, Cin]
+    dx = conv_transpose1d(dy, w_flip, stride,
+                          pad_lo=k - 1 - pad_lo, out_len=t_in)
+    # dw[j] = sum_{b,t} x_pad[b, t*s + j, :] (x) dy[b, t, :]
+    t_out = dy.shape[1]
+    pad_total = (t_out - 1) * stride + k
+    x_pad = jnp.pad(x, ((0, 0), (pad_lo, max(pad_total - t_in - pad_lo, 0)),
+                        (0, 0)))
+    dws = []
+    for j in range(k):
+        xs = lax.slice_in_dim(x_pad, j, j + (t_out - 1) * stride + 1,
+                              stride=stride, axis=1)
+        dws.append(jnp.einsum("btc,bto->co", xs, dy,
+                              preferred_element_type=jnp.float32))
+    dw = jnp.stack(dws).astype(w.dtype)
+    return dx, dw
+
+
+conv1d.defvjp(_conv1d_fwd, _conv1d_bwd)
+
+
+# ---------------------------------------------------------------------------
+# conv_transpose1d (fractionally-strided conv, polyphase kernel)
+# ---------------------------------------------------------------------------
+
+def _convt_kernel(x_hbm, w_ref, o_ref, xs, acc, sem, *, k, s, pad_lo,
+                  t_tile, cin_blk, rows_tile, qneg):
+    b, ti, co, ci = (pl.program_id(i) for i in range(4))
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(ti * t_tile, rows_tile),
+                 pl.ds(ci * cin_blk, cin_blk)],
+        xs, sem)
+    cp.start()
+    cp.wait()
+
+    acc[...] = jnp.zeros_like(acc)
+    for j in range(k):                                  # static unroll
+        rho = (pad_lo - j) % s
+        q = (rho + j - pad_lo) // s
+        lhs = xs[pl.ds(q + qneg, t_tile), :]            # [t_tile, cin_blk]
+        acc[:, rho, :] += jnp.dot(lhs, w_ref[j],
+                                  preferred_element_type=jnp.float32)
+
+    @pl.when(ci == 0)
+    def _():
+        o_ref[0] = acc[...].astype(o_ref.dtype)
+
+    @pl.when(ci != 0)
+    def _():
+        o_ref[0] = o_ref[0] + acc[...].astype(o_ref.dtype)
+
+
+def _convt_pallas(x, w, s, pad_lo, out_len):
+    b, t_in, cin = x.shape
+    k, _, cout = w.shape
+    assert out_len % s == 0, "conv_transpose output must be stride-aligned"
+    m_out = out_len // s                                # output phase-rows
+    t_tile = min(m_out, 512)
+    n_t = _cdiv(m_out, t_tile)
+    cin_blk = min(cin, 256)
+    cout_blk = min(cout, 256)
+    n_ci, n_co = _cdiv(cin, cin_blk), _cdiv(cout, cout_blk)
+    qneg = _cdiv(pad_lo, s)                             # front halo rows
+    qpos = _cdiv(max(k - 1 - pad_lo, 0), s)
+    rows_tile = t_tile + qneg + qpos
+
+    rows_needed = n_t * t_tile + qneg + qpos
+    x_pad = jnp.pad(x, ((0, 0), (qneg, rows_needed - t_in - qneg), (0, 0)))
+
+    grid = (b, n_t, n_co, n_ci)
+    out = pl.pallas_call(
+        functools.partial(_convt_kernel, k=k, s=s, pad_lo=pad_lo,
+                          t_tile=t_tile, cin_blk=cin_blk,
+                          rows_tile=rows_tile, qneg=qneg),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((k, cin_blk, cout_blk),
+                         lambda b_, t_, co_, ci_: (0, ci_, co_),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_tile, s, cout_blk),
+                               lambda b_, t_, co_, ci_: (b_, t_, 0, co_),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_t * t_tile, s, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows_tile, cin_blk), x.dtype),
+            pltpu.VMEM((t_tile, s, cout_blk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * m_out * k * cin * cout,
+            bytes_accessed=(b * t_in * cin + k * cin * cout
+                            + b * out_len * cout) * 4,
+            transcendentals=0),
+        interpret=_INTERPRET,
+    )(x_pad, w)
+    out = out.reshape(b, n_t * t_tile * s, cout)
+    return out[:, :out_len, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray, stride: int,
+                     pad_lo: int | None = None,
+                     out_len: int | None = None) -> jnp.ndarray:
+    """Fractionally-strided conv [B,T,Cin] -> [B,out_len,Cout].
+
+    Defaults (pad_lo=(K-1)//2, out_len=T*stride) match
+    ops.conv.conv_transpose1d's centered SAME semantics. Differentiable to
+    arbitrary reverse order (bwd is conv1d + einsums).
+    """
+    return _convt_fwd_impl(x, w, stride, pad_lo, out_len)
+
+
+def _convt_defaults(x, w, stride, pad_lo, out_len):
+    k = w.shape[0]
+    if pad_lo is None:
+        pad_lo = (k - 1) // 2
+    if out_len is None:
+        out_len = x.shape[1] * stride
+    return pad_lo, out_len
+
+
+def _convt_fwd_impl(x, w, stride, pad_lo, out_len):
+    pad_lo, out_len = _convt_defaults(x, w, stride, pad_lo, out_len)
+    cin = w.shape[1]
+    if cin < MIN_CIN or out_len % stride != 0:
+        k = w.shape[0]
+        t = x.shape[1]
+        dilated_len = (t - 1) * stride + 1
+        total_pad = out_len - 1 + k - dilated_len
+        return lax.conv_general_dilated(
+            x, w, window_strides=(1,),
+            padding=[(pad_lo, total_pad - pad_lo)],
+            lhs_dilation=(stride,),
+            dimension_numbers=("NWC", "WIO", "NWC"))
+    return _convt_pallas(x, w, stride, pad_lo, out_len)
+
+
+def _convt_fwd(x, w, stride, pad_lo, out_len):
+    return _convt_fwd_impl(x, w, stride, pad_lo, out_len), (x, w)
+
+
+def _convt_bwd(stride, pad_lo, out_len, res, dy):
+    x, w = res
+    k, cin, cout = w.shape
+    t_in = x.shape[1]
+    pad_lo, out_len = _convt_defaults(x, w, stride, pad_lo, out_len)
+    # dx[t] = sum_j dy[t*s + pad_lo - j] w[j]^T  == conv1d with flipped
+    # kernel and explicit padding (k-1-pad_lo, enough hi to cover t_in)
+    w_flip = jnp.swapaxes(w[::-1], 1, 2)                # [K, Cout, Cin]
+    lo = k - 1 - pad_lo
+    hi = (t_in - 1) * stride + k - lo - out_len
+    dx = conv1d(dy, w_flip, stride, (lo, max(hi, 0)))
+    # dw[j, ci, co] = sum_{b, m} x[b, m + q_j, ci] dy_r[b, m, rho_j, co]
+    s = stride
+    m_out = out_len // s if out_len % s == 0 else None
+    if m_out is None:
+        # non-aligned fallback: dilate dy lattice explicitly (rare path)
+        dy_pad = jnp.pad(dy, ((0, 0), (pad_lo, k), (0, 0)))
+        dws = []
+        xd = jnp.zeros((x.shape[0], (t_in - 1) * s + 1, cin),
+                       x.dtype).at[:, ::s].set(x)
+        for j in range(k):
+            seg = lax.slice_in_dim(dy_pad, j, j + xd.shape[1], axis=1)
+            dws.append(jnp.einsum("btc,bto->co", xd, seg,
+                                  preferred_element_type=jnp.float32))
+        return dx, jnp.stack(dws).astype(w.dtype)
+    qneg = _cdiv(pad_lo, s)
+    x_rows = jnp.pad(x, ((0, 0), (qneg, qneg + _cdiv(k, s)), (0, 0)))
+    dy_r = dy.reshape(dy.shape[0], m_out, s, cout)
+    dws = []
+    for j in range(k):
+        rho = (pad_lo - j) % s
+        q = (rho + j - pad_lo) // s
+        xs = lax.slice_in_dim(x_rows, q + qneg, q + qneg + m_out, axis=1)
+        dws.append(jnp.einsum("btc,bto->co", xs, dy_r[:, :, rho, :],
+                              preferred_element_type=jnp.float32))
+    dw = jnp.stack(dws).astype(w.dtype)
+    return dx, dw
+
+
+conv_transpose1d.defvjp(_convt_fwd, _convt_bwd)

@@ -1,0 +1,126 @@
+"""Pallas fused GRU cell (SURVEY C8 native tier; replaces cuDNN GRU).
+
+One kernel computes both gate matmuls (x@W_i, h@W_h — MXU) and all gate
+nonlinearities + the state blend (VPU) without round-tripping the [B, 3H]
+gate tensors through HBM, which is exactly the fusion cuDNN's GRU cell does
+on GPU. Weights live in VMEM across the call (max 3H x (in+H) floats —
+~10 MB for the cond_gru_sc09 config, within the v5e 16 MB budget; larger
+hidden sizes fall back to the XLA cell).
+
+Grid: (n_batch_blocks,). Gate convention matches ops.gru.gru_cell
+(torch.nn.GRUCell exactly); equivalence pinned by tests/pallas/test_gru.py.
+
+Differentiability: custom_vjp with an XLA-composed backward (the GRU sits
+only in the generator, which the WGAN-GP loss differentiates to first order
+— SURVEY R2 note; conv1d is the only op needing reverse-over-reverse).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False
+_MAX_VMEM_WEIGHTS = 12 * 1024 * 1024  # bytes of W_i + W_h we allow in VMEM
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _gru_kernel(x_ref, h_ref, wi_ref, wh_ref, bi_ref, bh_ref, o_ref, *, hid):
+    gi = jnp.dot(x_ref[...], wi_ref[...],
+                 preferred_element_type=jnp.float32) + bi_ref[...]
+    gh = jnp.dot(h_ref[...], wh_ref[...],
+                 preferred_element_type=jnp.float32) + bh_ref[...]
+    i_r, i_z, i_n = gi[:, :hid], gi[:, hid:2 * hid], gi[:, 2 * hid:]
+    h_r, h_z, h_n = gh[:, :hid], gh[:, hid:2 * hid], gh[:, 2 * hid:]
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    h = h_ref[...].astype(jnp.float32)
+    o_ref[...] = ((1.0 - z) * n + z * h).astype(o_ref.dtype)
+
+
+def _gru_fwd_impl(x, h, w_i, w_h, b_i, b_h):
+    b, in_dim = x.shape
+    hid = h.shape[-1]
+    if (w_i.size + w_h.size) * 4 > _MAX_VMEM_WEIGHTS:
+        from audiogan_tpu.ops.gru import gru_cell as xla_cell
+        return xla_cell(x, h, w_i, w_h, b_i, b_h, impl="xla")
+    b_blk = min(b, 256)
+    return pl.pallas_call(
+        functools.partial(_gru_kernel, hid=hid),
+        grid=(_cdiv(b, b_blk),),
+        in_specs=[
+            pl.BlockSpec((b_blk, in_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_blk, hid), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((in_dim, 3 * hid), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hid, 3 * hid), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * hid,), lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * hid,), lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b_blk, hid), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hid), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * 3 * hid * (in_dim + hid),
+            bytes_accessed=4 * (x.size + h.size + w_i.size + w_h.size
+                                + b * hid),
+            transcendentals=6 * b * hid),
+        interpret=_INTERPRET,
+    )(x, h, w_i, w_h, b_i, b_h)
+
+
+@jax.custom_vjp
+def gru_cell(x, h, w_i, w_h, b_i, b_h):
+    """Fused GRU step: x [B,in], h [B,H] -> h' [B,H] (torch convention)."""
+    return _gru_fwd_impl(x, h, w_i, w_h, b_i, b_h)
+
+
+def _gru_fwd(x, h, w_i, w_h, b_i, b_h):
+    # recompute-friendly residuals: keep the (cheap) gate pre-activations
+    gi = x @ w_i + b_i
+    gh = h @ w_h + b_h
+    hid = h.shape[-1]
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    out = (1 - z) * n + z * h
+    return out, (x, h, r, z, n, h_n)
+
+
+def _gru_fwd2(x, h, w_i, w_h, b_i, b_h):
+    out, res = _gru_fwd(x, h, w_i, w_h, b_i, b_h)
+    return out, res + (w_i, w_h)
+
+
+def _gru_bwd2(res, g):
+    x, h, r, z, n, h_n, w_i, w_h = res
+    dz = g * (h - n) * z * (1 - z)
+    dn = g * (1 - z) * (1 - n * n)
+    dr = dn * h_n * r * (1 - r)
+    dgi = jnp.concatenate([dr, dz, dn], axis=-1)
+    dgh = jnp.concatenate([dr, dz, dn * r], axis=-1)
+    dx = dgi @ w_i.T
+    dh = dgh @ w_h.T + g * z
+    dwi = x.T @ dgi
+    dwh = h.T @ dgh
+    dbi = dgi.sum(axis=0)
+    dbh = dgh.sum(axis=0)
+    return dx, dh, dwi, dwh, dbi, dbh
+
+
+gru_cell.defvjp(_gru_fwd2, _gru_bwd2)

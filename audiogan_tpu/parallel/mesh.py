@@ -1,0 +1,54 @@
+"""Device mesh + sharding rules (SURVEY §2.3/§2.4; [B:5,11]).
+
+Mesh axes: ('data', 'cp'). Data parallelism shards the batch axis; the
+gradient all-reduce is emitted by XLA's SPMD partitioner as a `psum` over
+ICI when the jit'd train step consumes batch-sharded inputs with replicated
+params — the TPU-native replacement for the reference's (absent) NCCL path.
+'cp' (context/time parallelism) shards the clip time axis for long-clip
+configs; its halo-exchange ops live in audiogan_tpu.parallel.halo.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from audiogan_tpu.config import Config
+
+
+def make_mesh(cfg: Config, devices: list | None = None) -> Mesh:
+    """Build the ('data', 'cp') mesh from cfg.mesh; uses the first dp*cp
+    devices. dp/cp of 1 are kept as size-1 axes so shardings are uniform."""
+    dp, cp = cfg.mesh.dp, cfg.mesh.cp
+    devices = devices if devices is not None else jax.devices()
+    need = dp * cp
+    if len(devices) < need:
+        raise ValueError(f"mesh needs {need} devices, have {len(devices)}")
+    dev = np.asarray(devices[:need]).reshape(dp, cp)
+    return Mesh(dev, ("data", "cp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for raw batches [n_views, B, T]: shard B over 'data'."""
+    return NamedSharding(mesh, P(None, "data", None))
+
+
+def label_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(None, "data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def state_shardings(mesh: Mesh, state: Any) -> Any:
+    """Replicate the whole TrainState (params are small; DP-only default).
+
+    FSDP-style sharded optimizer state (SURVEY §2.3) would change this map —
+    kept a single function so that lands in one place.
+    """
+    rep = replicated_sharding(mesh)
+    return jax.tree.map(lambda _: rep, state)

@@ -1,0 +1,138 @@
+"""Host training loop (SURVEY C14/C18/§3.4): the only per-step host work is
+feeding raw int16 batches into the one jit'd train step.
+
+Crash-only design (SURVEY §5): checkpoints every ckpt_every steps; `resume`
+picks up the latest complete step; the data stream and all in-step
+randomness are pure functions of (seed, step), so a resumed run is
+bit-identical to an uninterrupted one.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from audiogan_tpu.config import Config
+from audiogan_tpu.data.corpus import Corpus, HostBatcher, build_corpus
+from audiogan_tpu.data.synthetic import make_synthetic_sc09
+from audiogan_tpu.data.wavio import write_wav
+from audiogan_tpu.parallel.mesh import (batch_sharding, label_sharding,
+                                        make_mesh, state_shardings)
+from audiogan_tpu.train.sample import build_sample_fn
+from audiogan_tpu.train.state import create_train_state, param_count
+from audiogan_tpu.train.step import build_train_step, num_views
+from audiogan_tpu.utils import checkpoint as ckpt_lib
+from audiogan_tpu.utils.metrics import MetricsWriter
+
+
+def resolve_corpus(cfg: Config, workdir: Path) -> Corpus:
+    """data_dir: '' -> seeded synthetic fixture; wav tree -> pack once;
+    packed dir (has meta.json) -> open."""
+    d = cfg.data
+    if not d.data_dir:
+        wavs = workdir / "synthetic_wavs"
+        packed = workdir / "synthetic_corpus"
+        if not (packed / "meta.json").exists():
+            make_synthetic_sc09(
+                wavs, n_per_class=8,
+                num_classes=max(d.num_classes, 10),
+                rate=d.source_rate,
+                clip_len=min(d.store_len, d.source_rate), seed=0)
+            build_corpus(wavs, packed, store_len=d.store_len,
+                         source_rate=d.source_rate)
+        return Corpus(packed)
+    src = Path(d.data_dir)
+    if (src / "meta.json").exists():
+        return Corpus(src)
+    packed = workdir / "corpus"
+    if not (packed / "meta.json").exists():
+        build_corpus(src, packed, store_len=d.store_len)
+    return Corpus(packed)
+
+
+def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
+    """Run cfg.train.total_steps steps; returns final host metrics."""
+    cfg.validate()
+    workdir = Path(workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+    (workdir / "config.json").write_text(cfg.to_json())
+
+    corpus = resolve_corpus(cfg, workdir)
+    if cfg.data.num_classes and corpus.meta.get("num_classes", 0) == 0:
+        raise ValueError("conditional config but corpus has no labels")
+
+    mesh = make_mesh(cfg)
+    n_views = num_views(cfg)
+    batcher = HostBatcher(corpus, cfg.train.batch_size, n_views,
+                          seed=cfg.train.seed)
+
+    state = create_train_state(cfg)
+    n_g, n_d = param_count(state.params_g), param_count(state.params_d)
+    print(f"[init] G params: {n_g:,}  D params: {n_d:,}  "
+          f"mesh: data={cfg.mesh.dp} cp={cfg.mesh.cp}  "
+          f"devices: {len(jax.devices())}", flush=True)
+
+    mngr = ckpt_lib.make_manager(workdir, keep=cfg.train.keep_ckpts)
+    if resume and ckpt_lib.latest_step(mngr) is not None:
+        state = ckpt_lib.restore(mngr, state)
+        print(f"[resume] restored step {int(state.step)}", flush=True)
+
+    step_fn = build_train_step(cfg)
+    # Sharding comes in through the operands (device_put below): params/state
+    # replicated, batch sharded over 'data' — XLA's SPMD partitioner then
+    # emits the grad all-reduce over ICI ([B:5]). donate state buffers.
+    jit_step = jax.jit(step_fn, donate_argnums=(0,))
+    b_shard, l_shard = batch_sharding(mesh), label_sharding(mesh)
+    state = jax.device_put(state, state_shardings(mesh, state))
+
+    writer = MetricsWriter(workdir)
+    sample_fn = build_sample_fn(cfg)
+
+    start = int(state.step)
+    total = cfg.train.total_steps
+    metrics = {}
+    t_log = time.time()
+    for step in range(start, total):
+        clips, labels = batcher.get(step)
+        clips = jax.device_put(clips, b_shard)
+        labels = jax.device_put(labels, l_shard)
+        state, metrics = jit_step(state, clips, labels)
+
+        if (step + 1) % cfg.train.log_every == 0 or step + 1 == total:
+            metrics = jax.device_get(metrics)  # sync point
+            dt = time.time() - t_log
+            steps_done = cfg.train.log_every if (step + 1) % \
+                cfg.train.log_every == 0 else (step % cfg.train.log_every) + 1
+            sps = steps_done / max(dt, 1e-9)
+            audio_sec = (sps * cfg.train.batch_size * cfg.loss.n_critic *
+                         cfg.data.clip_len / cfg.data.sample_rate)
+            writer.write(step + 1, {**metrics, "steps_per_sec": sps,
+                                    "train_audio_sec_per_sec": audio_sec})
+            t_log = time.time()
+
+        if (step + 1) % cfg.train.ckpt_every == 0 or step + 1 == total:
+            ckpt_lib.save(mngr, jax.device_get(state))
+
+        if cfg.train.sample_every and (step + 1) % cfg.train.sample_every == 0:
+            _dump_samples(cfg, state, sample_fn, workdir, step + 1)
+
+    mngr.wait_until_finished()
+    writer.close()
+    return {k: float(v) for k, v in jax.device_get(metrics).items()}
+
+
+def _dump_samples(cfg: Config, state, sample_fn, workdir: Path,
+                  step: int, num: int = 4) -> None:
+    key = jax.random.key(cfg.train.seed + step)
+    labels = None
+    if cfg.data.num_classes:
+        labels = np.arange(num, dtype=np.int32) % cfg.data.num_classes
+    waves = np.asarray(sample_fn(state.params_g, key, labels, num=num))
+    out = workdir / "samples" / f"step_{step:08d}"
+    out.mkdir(parents=True, exist_ok=True)
+    for i, w in enumerate(waves):
+        tag = f"_y{labels[i]}" if labels is not None else ""
+        write_wav(out / f"sample_{i}{tag}.wav", cfg.data.sample_rate, w)

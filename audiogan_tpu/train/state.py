@@ -26,7 +26,9 @@ class TrainState(flax.struct.PyTreeNode):
     params_d: Any
     opt_g: Any                      # optax state for G
     opt_d: Any                      # optax state for D
-    base_key: jax.Array             # PRNG key; per-step keys fold step in
+    base_key: jax.Array             # PRNG key DATA (uint32, via key_data) so
+                                    # the whole state is a plain-array pytree
+                                    # for orbax; wrap_key_data at use site
 
 
 def make_optimizers(cfg: Config) -> tuple[optax.GradientTransformation,
@@ -69,7 +71,7 @@ def create_train_state(cfg: Config, seed: int | None = None) -> TrainState:
         params_d=params_d,
         opt_g=opt_g.init(params_g),
         opt_d=opt_d.init(params_d),
-        base_key=kbase,
+        base_key=jax.random.key_data(kbase),
     )
 
 

@@ -108,7 +108,8 @@ def build_train_step(cfg: Config) -> Callable[..., tuple[TrainState, dict]]:
 
     def step_fn(state: TrainState, raw: jnp.ndarray, labels: jnp.ndarray
                 ) -> tuple[TrainState, dict[str, jnp.ndarray]]:
-        (step_key,) = split_for_step(state.base_key, state.step, "step")
+        base = jax.random.wrap_key_data(state.base_key)
+        (step_key,) = split_for_step(base, state.step, "step")
 
         # ---- n_critic critic updates: lax.scan, fresh real view each ----
         views = (raw[:n_critic], labels[:n_critic],

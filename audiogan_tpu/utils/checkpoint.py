@@ -1,0 +1,43 @@
+"""Orbax checkpointing of the full TrainState (SURVEY C17, §5).
+
+Reference equivalent: torch.save of G/D/optimizer state dicts. Here the
+whole TrainState pytree (both nets, both optax states, PRNG key data, step)
+saves/restores as a unit; keep-last-k via CheckpointManager. Restore is
+sharding-aware: pass the abstract state built under the target mesh and
+orbax lays the arrays out accordingly (write on v5e-16, restore on 1 chip).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def make_manager(workdir: str | Path, keep: int = 3) -> ocp.CheckpointManager:
+    path = (Path(workdir) / "ckpt").absolute()
+    path.mkdir(parents=True, exist_ok=True)
+    opts = ocp.CheckpointManagerOptions(max_to_keep=keep, create=True)
+    return ocp.CheckpointManager(path, options=opts)
+
+
+def save(mngr: ocp.CheckpointManager, state: Any, wait: bool = False) -> None:
+    mngr.save(int(state.step), args=ocp.args.StandardSave(state))
+    if wait:
+        mngr.wait_until_finished()
+
+
+def latest_step(mngr: ocp.CheckpointManager) -> int | None:
+    return mngr.latest_step()
+
+
+def restore(mngr: ocp.CheckpointManager, abstract_state: Any,
+            step: int | None = None) -> Any:
+    """Restore `step` (default: latest) into the layout of abstract_state."""
+    step = mngr.latest_step() if step is None else step
+    if step is None:
+        raise FileNotFoundError("no checkpoint to restore")
+    target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
+    return mngr.restore(step, args=ocp.args.StandardRestore(target))

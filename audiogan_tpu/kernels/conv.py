@@ -56,13 +56,18 @@ def _same_pads(t_in: int, k: int, s: int) -> tuple[int, int, int]:
 # ---------------------------------------------------------------------------
 
 def _conv1d_kernel(x_hbm, w_ref, o_ref, xs, acc, sem, *, k, s, t_tile,
-                   cin_blk, rows_tile):
+                   cin_blk, rows_tile, full_ci):
     b, ti, co, ci = (pl.program_id(i) for i in range(4))
-    # DMA the haloed input rows for this (b, t, ci) tile: [rows_tile, s, cin]
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(ti * t_tile, rows_tile), :,
-                 pl.ds(ci * cin_blk, cin_blk)],
-        xs, sem)
+    # DMA the haloed input rows for this (b, t, ci) tile: [rows_tile, s, cin].
+    # Mosaic requires HBM slice sizes on the lane dim to be 128-aligned, so
+    # channel slicing only happens when cin_blk is a multiple of 128
+    # (full_ci covers the cin <= 128 case with a full-dim copy).
+    if full_ci:
+        src = x_hbm.at[b, pl.ds(ti * t_tile, rows_tile), :, :]
+    else:
+        src = x_hbm.at[b, pl.ds(ti * t_tile, rows_tile), :,
+                       pl.ds(ci * cin_blk, cin_blk)]
+    cp = pltpu.make_async_copy(src, xs, sem)
     cp.start()
     cp.wait()
 
@@ -85,13 +90,30 @@ def _conv1d_kernel(x_hbm, w_ref, o_ref, xs, acc, sem, *, k, s, t_tile,
         o_ref[0] = o_ref[0] + a.astype(o_ref.dtype)
 
 
+def _round_up(a: int, m: int) -> int:
+    return _cdiv(a, m) * m
+
+
+def _pad_channels(x, w):
+    """Pad Cin to a multiple of 128: Mosaic requires HBM memref slices to be
+    128-aligned on the lane dim, and the MXU pads lanes anyway so the extra
+    zero channels cost nothing in compute."""
+    cin = w.shape[1]
+    cin_p = _round_up(cin, 128)
+    if cin_p != cin:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, cin_p - cin)))
+        w = jnp.pad(w, ((0, 0), (0, cin_p - cin), (0, 0)))
+    return x, w
+
+
 def _conv1d_pallas(x: jnp.ndarray, w: jnp.ndarray, s: int,
                    pad_lo: int, pad_hi: int, t_out: int) -> jnp.ndarray:
+    x, w = _pad_channels(x, w)
     b, t_in, cin = x.shape
     k, _, cout = w.shape
     t_tile = min(t_out, 512)
     n_t = _cdiv(t_out, t_tile)
-    cin_blk = min(cin, 256)
+    cin_blk = min(cin, 256)                # multiples of 128 by construction
     cout_blk = min(cout, 256)
     n_ci, n_co = _cdiv(cin, cin_blk), _cdiv(cout, cout_blk)
     qmax = (k - 1) // s
@@ -107,10 +129,11 @@ def _conv1d_pallas(x: jnp.ndarray, w: jnp.ndarray, s: int,
     grid = (b, n_t, n_co, n_ci)
     out = pl.pallas_call(
         functools.partial(_conv1d_kernel, k=k, s=s, t_tile=t_tile,
-                          cin_blk=cin_blk, rows_tile=rows_tile),
+                          cin_blk=cin_blk, rows_tile=rows_tile,
+                          full_ci=(n_ci == 1)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # x_rows stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # x_rows stays in HBM
             pl.BlockSpec((k, cin_blk, cout_blk),
                          lambda b_, t_, co_, ci_: (0, ci_, co_),
                          memory_space=pltpu.VMEM),
@@ -122,7 +145,7 @@ def _conv1d_pallas(x: jnp.ndarray, w: jnp.ndarray, s: int,
         scratch_shapes=[
             pltpu.VMEM((rows_tile, s, cin_blk), x.dtype),
             pltpu.VMEM((1, 1), jnp.float32),           # (unused placeholder)
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
@@ -138,76 +161,21 @@ def _conv1d_pallas(x: jnp.ndarray, w: jnp.ndarray, s: int,
     return out[:, :t_out, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def conv1d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
-           padding: Any = "SAME") -> jnp.ndarray:
-    """Strided cross-correlation [B,T,Cin] x [K,Cin,Cout] -> [B,T',Cout].
-
-    padding: "SAME" or explicit (lo, hi). Twice-differentiable (GP path).
-    """
-    return _conv1d_fwd_impl(x, w, stride, padding)
-
-
-def _resolve_pads(t_in, k, stride, padding):
-    if padding == "SAME":
-        return _same_pads(t_in, k, stride)
-    lo, hi = padding
-    t_out = (t_in + lo + hi - k) // stride + 1
-    return t_out, lo, hi
-
-
-def _conv1d_fwd_impl(x, w, stride, padding):
-    t_in, k, cin = x.shape[1], w.shape[0], w.shape[1]
-    t_out, lo, hi = _resolve_pads(t_in, k, stride, padding)
-    if cin < MIN_CIN:
-        return lax.conv_general_dilated(
-            x, w, window_strides=(stride,), padding=[(lo, hi)],
-            dimension_numbers=("NWC", "WIO", "NWC"))
-    return _conv1d_pallas(x, w, stride, lo, hi, t_out)
-
-
-def _conv1d_fwd(x, w, stride, padding):
-    return _conv1d_fwd_impl(x, w, stride, padding), (x, w)
-
-
-def _conv1d_bwd(stride, padding, res, dy):
-    x, w = res
-    k = w.shape[0]
-    t_in = x.shape[1]
-    _, pad_lo, _ = _resolve_pads(t_in, k, stride, padding)
-    # dx: fractionally-strided conv of dy with the flipped/transposed kernel
-    w_flip = jnp.swapaxes(w[::-1], 1, 2)               # [K, Cout, Cin]
-    dx = conv_transpose1d(dy, w_flip, stride,
-                          pad_lo=k - 1 - pad_lo, out_len=t_in)
-    # dw[j] = sum_{b,t} x_pad[b, t*s + j, :] (x) dy[b, t, :]
-    t_out = dy.shape[1]
-    pad_total = (t_out - 1) * stride + k
-    x_pad = jnp.pad(x, ((0, 0), (pad_lo, max(pad_total - t_in - pad_lo, 0)),
-                        (0, 0)))
-    dws = []
-    for j in range(k):
-        xs = lax.slice_in_dim(x_pad, j, j + (t_out - 1) * stride + 1,
-                              stride=stride, axis=1)
-        dws.append(jnp.einsum("btc,bto->co", xs, dy,
-                              preferred_element_type=jnp.float32))
-    dw = jnp.stack(dws).astype(w.dtype)
-    return dx, dw
-
-
-conv1d.defvjp(_conv1d_fwd, _conv1d_bwd)
-
-
 # ---------------------------------------------------------------------------
 # conv_transpose1d (fractionally-strided conv, polyphase kernel)
 # ---------------------------------------------------------------------------
 
 def _convt_kernel(x_hbm, w_ref, o_ref, xs, acc, sem, *, k, s, pad_lo,
-                  t_tile, cin_blk, rows_tile, qneg):
+                  t_tile, cin_blk, rows_tile, qneg, full_ci):
     b, ti, co, ci = (pl.program_id(i) for i in range(4))
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(ti * t_tile, rows_tile),
-                 pl.ds(ci * cin_blk, cin_blk)],
-        xs, sem)
+    # x_hbm is [B, R, 1, C]: rows land on an untiled dim so arbitrary row
+    # slices are legal; channel slices only when 128-aligned (see conv1d).
+    if full_ci:
+        src = x_hbm.at[b, pl.ds(ti * t_tile, rows_tile), :, :]
+    else:
+        src = x_hbm.at[b, pl.ds(ti * t_tile, rows_tile), :,
+                       pl.ds(ci * cin_blk, cin_blk)]
+    cp = pltpu.make_async_copy(src, xs, sem)
     cp.start()
     cp.wait()
 
@@ -215,7 +183,7 @@ def _convt_kernel(x_hbm, w_ref, o_ref, xs, acc, sem, *, k, s, pad_lo,
     for j in range(k):                                  # static unroll
         rho = (pad_lo - j) % s
         q = (rho + j - pad_lo) // s
-        lhs = xs[pl.ds(q + qneg, t_tile), :]            # [t_tile, cin_blk]
+        lhs = xs[pl.ds(q + qneg, t_tile), 0, :]         # [t_tile, cin_blk]
         acc[:, rho, :] += jnp.dot(lhs, w_ref[j],
                                   preferred_element_type=jnp.float32)
 
@@ -229,13 +197,14 @@ def _convt_kernel(x_hbm, w_ref, o_ref, xs, acc, sem, *, k, s, pad_lo,
 
 
 def _convt_pallas(x, w, s, pad_lo, out_len):
+    x, w = _pad_channels(x, w)
     b, t_in, cin = x.shape
     k, _, cout = w.shape
     assert out_len % s == 0, "conv_transpose output must be stride-aligned"
     m_out = out_len // s                                # output phase-rows
     t_tile = min(m_out, 512)
     n_t = _cdiv(m_out, t_tile)
-    cin_blk = min(cin, 256)
+    cin_blk = min(cin, 256)                # multiples of 128 by construction
     cout_blk = min(cout, 256)
     n_ci, n_co = _cdiv(cin, cin_blk), _cdiv(cout, cout_blk)
     qneg = _cdiv(pad_lo, s)                             # front halo rows
@@ -244,15 +213,17 @@ def _convt_pallas(x, w, s, pad_lo, out_len):
 
     rows_needed = n_t * t_tile + qneg + qpos
     x_pad = jnp.pad(x, ((0, 0), (qneg, rows_needed - t_in - qneg), (0, 0)))
+    x_pad = x_pad[:, :, None, :]                        # [B, R, 1, C]
 
     grid = (b, n_t, n_co, n_ci)
     out = pl.pallas_call(
         functools.partial(_convt_kernel, k=k, s=s, pad_lo=pad_lo,
                           t_tile=t_tile, cin_blk=cin_blk,
-                          rows_tile=rows_tile, qneg=qneg),
+                          rows_tile=rows_tile, qneg=qneg,
+                          full_ci=(n_ci == 1)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((k, cin_blk, cout_blk),
                          lambda b_, t_, co_, ci_: (0, ci_, co_),
                          memory_space=pltpu.VMEM),
@@ -262,9 +233,9 @@ def _convt_pallas(x, w, s, pad_lo, out_len):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_t * t_tile, s, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((rows_tile, cin_blk), x.dtype),
+            pltpu.VMEM((rows_tile, 1, cin_blk), x.dtype),
             pltpu.VMEM((t_tile, s, cout_blk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
@@ -281,30 +252,25 @@ def _convt_pallas(x, w, s, pad_lo, out_len):
     return out[:, :out_len, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray, stride: int,
-                     pad_lo: int | None = None,
-                     out_len: int | None = None) -> jnp.ndarray:
-    """Fractionally-strided conv [B,T,Cin] -> [B,out_len,Cout].
 
-    Defaults (pad_lo=(K-1)//2, out_len=T*stride) match
-    ops.conv.conv_transpose1d's centered SAME semantics. Differentiable to
-    arbitrary reverse order (bwd is conv1d + einsums).
-    """
-    return _convt_fwd_impl(x, w, stride, pad_lo, out_len)
+# ---------------------------------------------------------------------------
+# lowerings used by kernels.primitives + public API
+# ---------------------------------------------------------------------------
 
-
-def _convt_defaults(x, w, stride, pad_lo, out_len):
-    k = w.shape[0]
-    if pad_lo is None:
-        pad_lo = (k - 1) // 2
-    if out_len is None:
-        out_len = x.shape[1] * stride
-    return pad_lo, out_len
+def conv1d_lowered(x, w, stride, pad_lo, pad_hi):
+    """Lowering body for the audiogan_conv1d primitive (pallas or XLA)."""
+    cin = w.shape[1]
+    t_in, k = x.shape[1], w.shape[0]
+    t_out = (t_in + pad_lo + pad_hi - k) // stride + 1
+    if cin < MIN_CIN:
+        return lax.conv_general_dilated(
+            x, w, window_strides=(stride,), padding=[(pad_lo, pad_hi)],
+            dimension_numbers=("NWC", "WIO", "NWC"))
+    return _conv1d_pallas(x, w, stride, pad_lo, pad_hi, t_out)
 
 
-def _convt_fwd_impl(x, w, stride, pad_lo, out_len):
-    pad_lo, out_len = _convt_defaults(x, w, stride, pad_lo, out_len)
+def convt1d_lowered(x, w, stride, pad_lo, out_len):
+    """Lowering body for the audiogan_convt1d primitive (pallas or XLA)."""
     cin = w.shape[1]
     if cin < MIN_CIN or out_len % stride != 0:
         k = w.shape[0]
@@ -319,47 +285,38 @@ def _convt_fwd_impl(x, w, stride, pad_lo, out_len):
     return _convt_pallas(x, w, stride, pad_lo, out_len)
 
 
-def _convt_fwd(x, w, stride, pad_lo, out_len):
-    return _convt_fwd_impl(x, w, stride, pad_lo, out_len), (x, w)
+def _same_pads_public(t_in, k, stride, padding):
+    if padding == "SAME":
+        return _same_pads(t_in, k, stride)
+    lo, hi = padding
+    t_out = (t_in + lo + hi - k) // stride + 1
+    return t_out, lo, hi
 
 
-def _convt_bwd(stride, pad_lo, out_len, res, dy):
-    x, w = res
-    k, cin, cout = w.shape
-    t_in = x.shape[1]
-    pad_lo, out_len = _convt_defaults(x, w, stride, pad_lo, out_len)
-    # dx[t] = sum_j dy[t*s + pad_lo - j] w[j]^T  == conv1d with flipped
-    # kernel and explicit padding (k-1-pad_lo, enough hi to cover t_in)
-    w_flip = jnp.swapaxes(w[::-1], 1, 2)                # [K, Cout, Cin]
-    lo = k - 1 - pad_lo
-    hi = (t_in - 1) * stride + k - lo - out_len
-    dx = conv1d(dy, w_flip, stride, (lo, max(hi, 0)))
-    # dw[j, ci, co] = sum_{b, m} x[b, m + q_j, ci] dy_r[b, m, rho_j, co]
-    s = stride
-    m_out = out_len // s if out_len % s == 0 else None
-    if m_out is None:
-        # non-aligned fallback: dilate dy lattice explicitly (rare path)
-        dy_pad = jnp.pad(dy, ((0, 0), (pad_lo, k), (0, 0)))
-        dws = []
-        xd = jnp.zeros((x.shape[0], (t_in - 1) * s + 1, cin),
-                       x.dtype).at[:, ::s].set(x)
-        for j in range(k):
-            seg = lax.slice_in_dim(dy_pad, j, j + xd.shape[1], axis=1)
-            dws.append(jnp.einsum("btc,bto->co", xd, seg,
-                                  preferred_element_type=jnp.float32))
-        return dx, jnp.stack(dws).astype(w.dtype)
-    qneg = _cdiv(pad_lo, s)
-    x_rows = jnp.pad(x, ((0, 0), (qneg, qneg + _cdiv(k, s)), (0, 0)))
-    dy_r = dy.reshape(dy.shape[0], m_out, s, cout)
-    dws = []
-    for j in range(k):
-        rho = (pad_lo - j) % s
-        q = (rho + j - pad_lo) // s
-        xs = lax.slice_in_dim(x_rows, q + qneg, q + qneg + m_out, axis=1)
-        dws.append(jnp.einsum("btc,bto->co", xs, dy_r[:, :, rho, :],
-                              preferred_element_type=jnp.float32))
-    dw = jnp.stack(dws).astype(w.dtype)
-    return dx, dw
+def conv1d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
+           padding: Any = "SAME") -> jnp.ndarray:
+    """Strided cross-correlation [B,T,Cin] x [K,Cin,Cout] -> [B,T',Cout].
+
+    Differentiable to arbitrary order in fwd and rev mode (primitive with
+    bilinear jvp + transpose rules, SURVEY R2).
+    """
+    from audiogan_tpu.kernels.primitives import conv1d_prim
+    _, lo, hi = _same_pads_public(x.shape[1], w.shape[0], stride, padding)
+    return conv1d_prim(x, w, stride=stride, pad_lo=lo, pad_hi=hi)
 
 
-conv_transpose1d.defvjp(_convt_fwd, _convt_bwd)
+def conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray, stride: int,
+                     pad_lo: int | None = None,
+                     out_len: int | None = None) -> jnp.ndarray:
+    """Fractionally-strided conv [B,T,Cin] -> [B,out_len,Cout].
+
+    Defaults (pad_lo=(K-1)//2, out_len=T*stride) match the XLA path in
+    ops.conv. Arbitrary-order differentiable (see conv1d).
+    """
+    from audiogan_tpu.kernels.primitives import convt1d_prim
+    k = w.shape[0]
+    if pad_lo is None:
+        pad_lo = (k - 1) // 2
+    if out_len is None:
+        out_len = x.shape[1] * stride
+    return convt1d_prim(x, w, stride=stride, pad_lo=pad_lo, out_len=out_len)

@@ -65,9 +65,9 @@ def _gru_fwd_impl(x, h, w_i, w_h, b_i, b_h):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hid, 3 * hid), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * hid,), lambda i: (0,),
+            pl.BlockSpec((1, 3 * hid), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * hid,), lambda i: (0,),
+            pl.BlockSpec((1, 3 * hid), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((b_blk, hid), lambda i: (i, 0),
@@ -79,7 +79,7 @@ def _gru_fwd_impl(x, h, w_i, w_h, b_i, b_h):
                                 + b * hid),
             transcendentals=6 * b * hid),
         interpret=_INTERPRET,
-    )(x, h, w_i, w_h, b_i, b_h)
+    )(x, h, w_i, w_h, b_i[None, :], b_h[None, :])
 
 
 @jax.custom_vjp

@@ -1,0 +1,194 @@
+"""conv1d / conv_transpose1d as first-class JAX primitives (SURVEY R2).
+
+Why primitives and not jax.custom_vjp: the WGAN-GP loss differentiates
+grad_x D(x) w.r.t. params — reverse-over-reverse. custom_vjp only supplies
+ONE derivative level; at the second level JAX re-traces the fwd body and
+hits the raw pallas_call with a JVP it cannot derive. A primitive with
+bilinear JVP + transpose rules (the same mechanism lax.conv uses) is
+differentiable to ANY order, in both forward and reverse mode, because
+every transpose re-enters one of these primitives:
+
+    transpose_x(conv1d)          = convt1d (flipped/transposed kernel)
+    transpose_w(conv1d)          = strided einsum (native ops)
+    transpose_x(convt1d)         = conv1d
+    transpose_w(convt1d)         = phase einsum (native ops)
+
+The Pallas kernels in kernels/conv.py provide the lowering; shapes hostile
+to the MXU fall back to lax.conv inside the same lowering, so callers never
+branch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.extend import core as jex_core
+from jax.interpreters import ad, batching, mlir
+
+
+# ---------------------------------------------------------------------------
+# conv1d primitive: params (stride, pad_lo, pad_hi)
+# ---------------------------------------------------------------------------
+
+conv1d_p = jex_core.Primitive("audiogan_conv1d")
+convt1d_p = jex_core.Primitive("audiogan_convt1d")
+
+
+def conv1d_prim(x, w, stride: int, pad_lo: int, pad_hi: int):
+    return conv1d_p.bind(x, w, stride=stride, pad_lo=pad_lo, pad_hi=pad_hi)
+
+
+def convt1d_prim(x, w, stride: int, pad_lo: int, out_len: int):
+    return convt1d_p.bind(x, w, stride=stride, pad_lo=pad_lo,
+                          out_len=out_len)
+
+
+def _conv1d_t_out(t_in, k, stride, pad_lo, pad_hi):
+    return (t_in + pad_lo + pad_hi - k) // stride + 1
+
+
+def _conv1d_impl(x, w, *, stride, pad_lo, pad_hi):
+    from audiogan_tpu.kernels.conv import conv1d_lowered
+    return conv1d_lowered(x, w, stride, pad_lo, pad_hi)
+
+
+def _convt1d_impl(x, w, *, stride, pad_lo, out_len):
+    from audiogan_tpu.kernels.conv import convt1d_lowered
+    return convt1d_lowered(x, w, stride, pad_lo, out_len)
+
+
+def _conv1d_abstract(x, w, *, stride, pad_lo, pad_hi):
+    b, t_in, cin = x.shape
+    k, cin2, cout = w.shape
+    assert cin == cin2, (x.shape, w.shape)
+    t_out = _conv1d_t_out(t_in, k, stride, pad_lo, pad_hi)
+    return jax.core.ShapedArray((b, t_out, cout), x.dtype)
+
+
+def _convt1d_abstract(x, w, *, stride, pad_lo, out_len):
+    b, t_in, cin = x.shape
+    k, cin2, cout = w.shape
+    assert cin == cin2, (x.shape, w.shape)
+    return jax.core.ShapedArray((b, out_len, cout), x.dtype)
+
+
+conv1d_p.def_abstract_eval(_conv1d_abstract)
+convt1d_p.def_abstract_eval(_convt1d_abstract)
+
+
+def _eager_impl(prim):
+    # eager execution routes through the same lowering via jit
+    def impl(x, w, **params):
+        fn = {"audiogan_conv1d": _conv1d_impl,
+              "audiogan_convt1d": _convt1d_impl}[prim.name]
+        return jax.jit(functools.partial(fn, **params))(x, w)
+    return impl
+
+
+conv1d_p.def_impl(_eager_impl(conv1d_p))
+convt1d_p.def_impl(_eager_impl(convt1d_p))
+
+mlir.register_lowering(
+    conv1d_p, mlir.lower_fun(_conv1d_impl, multiple_results=False))
+mlir.register_lowering(
+    convt1d_p, mlir.lower_fun(_convt1d_impl, multiple_results=False))
+
+
+# ---------------------------------------------------------------------------
+# transpose rules (bilinear: linear in x for fixed w and vice versa)
+# ---------------------------------------------------------------------------
+
+def _flip(w):
+    return jnp.swapaxes(w[::-1], 1, 2)  # [K, Cout, Cin]
+
+
+def _conv1d_transpose_x(ct, x, w, *, stride, pad_lo, pad_hi):
+    # d/dx: fractionally-strided conv of the cotangent with flipped kernel
+    k = w.shape[0]
+    t_in = x.aval.shape[1]
+    return convt1d_prim(ct, _flip(w), stride=stride,
+                        pad_lo=k - 1 - pad_lo, out_len=t_in)
+
+
+def _conv1d_transpose_w(ct, x, w, *, stride, pad_lo, pad_hi):
+    k = w.aval.shape[0]
+    t_in = x.shape[1]
+    t_out = ct.shape[1]
+    pad_total = (t_out - 1) * stride + k
+    x_pad = jnp.pad(x, ((0, 0), (pad_lo, max(pad_total - t_in - pad_lo, 0)),
+                        (0, 0)))
+    dws = []
+    for j in range(k):
+        xs = lax.slice_in_dim(x_pad, j, j + (t_out - 1) * stride + 1,
+                              stride=stride, axis=1)
+        dws.append(jnp.einsum("btc,bto->co", xs, ct,
+                              preferred_element_type=jnp.float32))
+    return jnp.stack(dws).astype(w.aval.dtype)
+
+
+def _convt1d_transpose_x(ct, x, w, *, stride, pad_lo, out_len):
+    k = w.shape[0]
+    t_in = x.aval.shape[1]
+    lo = k - 1 - pad_lo
+    hi = (t_in - 1) * stride + k - lo - out_len
+    return conv1d_prim(ct, _flip(w), stride=stride, pad_lo=lo,
+                       pad_hi=max(hi, 0))
+
+
+def _convt1d_transpose_w(ct, x, w, *, stride, pad_lo, out_len):
+    k, cin, cout = w.aval.shape
+    s = stride
+    t_in = x.shape[1]
+    if out_len % s == 0:
+        m_out = out_len // s
+        qneg = -(-pad_lo // s)
+        x_rows = jnp.pad(x, ((0, 0), (qneg, qneg + -(-k // s)), (0, 0)))
+        ct_r = ct.reshape(ct.shape[0], m_out, s, cout)
+        dws = []
+        for j in range(k):
+            rho = (pad_lo - j) % s
+            q = (rho + j - pad_lo) // s
+            xs = lax.slice_in_dim(x_rows, q + qneg, q + qneg + m_out, axis=1)
+            dws.append(jnp.einsum("btc,bto->co", xs, ct_r[:, :, rho, :],
+                                  preferred_element_type=jnp.float32))
+        return jnp.stack(dws).astype(w.aval.dtype)
+    # rare non-aligned path: explicit input dilation
+    xd = jnp.zeros((x.shape[0], (t_in - 1) * s + 1, cin),
+                   x.dtype).at[:, ::s].set(x)
+    ct_pad = jnp.pad(ct, ((0, 0), (pad_lo, k), (0, 0)))
+    dws = []
+    for j in range(k):
+        seg = lax.slice_in_dim(ct_pad, j, j + xd.shape[1], axis=1)
+        dws.append(jnp.einsum("btc,bto->co", xd, seg,
+                              preferred_element_type=jnp.float32))
+    return jnp.stack(dws).astype(w.aval.dtype)
+
+
+ad.defbilinear(conv1d_p, _conv1d_transpose_x, _conv1d_transpose_w)
+ad.defbilinear(convt1d_p, _convt1d_transpose_x, _convt1d_transpose_w)
+
+
+# ---------------------------------------------------------------------------
+# batching (vmap): collapse the mapped axis into the batch dim
+# ---------------------------------------------------------------------------
+
+def _batch_rule(prim):
+    def rule(args, dims, **params):
+        x, w = args
+        dx, dw = dims
+        if dw is not None:
+            raise NotImplementedError(
+                f"vmap over {prim.name} weights is not supported")
+        x = batching.moveaxis(x, dx, 0)
+        v, b, t, c = x.shape
+        out = prim.bind(x.reshape(v * b, t, c), w, **params)
+        return out.reshape(v, b, *out.shape[1:]), 0
+    return rule
+
+
+batching.primitive_batchers[conv1d_p] = _batch_rule(conv1d_p)
+batching.primitive_batchers[convt1d_p] = _batch_rule(convt1d_p)

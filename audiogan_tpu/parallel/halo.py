@@ -1,0 +1,127 @@
+"""Context-parallel (time-axis) conv ops via halo exchange (SURVEY §5
+long-context; the conv-net analog of ring attention, [B:11]).
+
+Inside a shard_map over the 'cp' mesh axis, each shard holds a contiguous
+time slice of the signal. A strided conv needs (k-1) boundary samples from
+its neighbors; one `lax.ppermute` each way ships exactly the halo, then the
+conv runs locally — cost O(k) per layer vs O(T/cp) compute. Non-cyclic
+permutes deliver zeros at the outer edges, which is exactly SAME-conv
+zero-padding, so sharded == unsharded bit-for-bit (pinned by
+tests/parallel/test_halo.py).
+
+These helpers must be called INSIDE shard_map with the time axis sharded
+over `axis`; x is the local shard [B, T_loc, C].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from audiogan_tpu.ops.conv import conv1d as conv1d_impl
+from audiogan_tpu.ops.conv import conv_transpose1d as convt_impl
+
+
+def _shift_from_left(x_edge: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """Each shard receives its LEFT neighbor's right-edge slab (zeros at i=0)."""
+    n = lax.axis_size(axis)
+    perm = [(i, i + 1) for i in range(n - 1)]
+    return lax.ppermute(x_edge, axis, perm)
+
+
+def _shift_from_right(x_edge: jnp.ndarray, axis: str) -> jnp.ndarray:
+    n = lax.axis_size(axis)
+    perm = [(i + 1, i) for i in range(n - 1)]
+    return lax.ppermute(x_edge, axis, perm)
+
+
+def gather_halo(x: jnp.ndarray, left: int, right: int, axis: str
+                ) -> jnp.ndarray:
+    """Extend the local time shard with `left`/`right` neighbor samples."""
+    parts = []
+    if left > 0:
+        parts.append(_shift_from_left(x[:, -left:, :], axis))
+    parts.append(x)
+    if right > 0:
+        parts.append(_shift_from_right(x[:, :right, :], axis))
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else x
+
+
+def cp_conv1d(x: jnp.ndarray, w: jnp.ndarray, stride: int, axis: str,
+              impl: str = "xla") -> jnp.ndarray:
+    """Time-sharded SAME conv: halo exchange + local VALID conv.
+
+    Requires T_global % (cp * stride) == 0 (config.validate enforces
+    clip_len % cp == 0 and the model strides divide clip lengths).
+    """
+    k = w.shape[0]
+    t_loc = x.shape[1]
+    assert t_loc % stride == 0, "local shard must be stride-aligned"
+    t_out_loc = t_loc // stride
+    # global SAME pad for stride-aligned T: total = k - stride (k >= stride)
+    total_pad = max(k - stride, 0)
+    pad_lo = total_pad // 2
+    pad_hi = total_pad - pad_lo
+    x_ext = gather_halo(x, pad_lo, pad_hi, axis)
+    y = conv1d_impl(x_ext, w, stride=stride, padding=(0, 0), impl=impl)
+    assert y.shape[1] == t_out_loc, (y.shape, t_out_loc)
+    return y
+
+
+def cp_conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray, stride: int,
+                        axis: str, impl: str = "xla") -> jnp.ndarray:
+    """Time-sharded fractionally-strided conv (overlap via input halos).
+
+    Local out length is T_loc * stride; boundary contributions come from the
+    neighbor input halos rather than post-hoc overlap-add (one ppermute per
+    side, no second exchange).
+    """
+    k = w.shape[0]
+    s = stride
+    pad_lo = (k - 1) // 2
+    t_loc = x.shape[1]
+    lx = -(-pad_lo // s)                    # left halo in input samples
+    rx = -(-max(k - 1 - pad_lo, 0) // s)    # right halo
+    x_ext = gather_halo(x, lx, rx, axis)
+    if impl == "pallas":
+        from audiogan_tpu.kernels import conv_transpose1d as pconvt
+        y_ext = pconvt(x_ext, w, s, pad_lo=pad_lo,
+                       out_len=(t_loc + lx + rx) * s)
+    else:
+        # XLA: input-dilated conv with the same indexing
+        dilated_len = (x_ext.shape[1] - 1) * s + 1
+        out_len = (t_loc + lx + rx) * s
+        total = out_len - 1 + k - dilated_len
+        y_ext = lax.conv_general_dilated(
+            x_ext, w, window_strides=(1,), padding=[(pad_lo, total - pad_lo)],
+            lhs_dilation=(s,), dimension_numbers=("NWC", "WIO", "NWC"))
+    return lax.slice_in_dim(y_ext, lx * s, lx * s + t_loc * s, axis=1)
+
+
+def cp_phase_shuffle(x: jnp.ndarray, key: jax.Array, rad: int, axis: str
+                     ) -> jnp.ndarray:
+    """Phase shuffle on a time-sharded activation: gather rad halos, then
+    apply the same per-example shift on every shard (key must be identical
+    across the cp axis so shards pick the same shift)."""
+    if rad == 0:
+        return x
+    b, t, c = x.shape
+    idx = lax.axis_index(axis)
+    n_cp = lax.axis_size(axis)
+    # interior halos from neighbors; GLOBAL edges reflect locally, exactly
+    # like the unsharded op's reflect padding (the reflected samples live on
+    # the edge shard itself).
+    left_recv = _shift_from_left(x[:, -rad:, :], axis)
+    left_refl = x[:, 1:rad + 1, :][:, ::-1, :]
+    left = jnp.where(idx == 0, left_refl, left_recv)
+    right_recv = _shift_from_right(x[:, :rad, :], axis)
+    right_refl = x[:, t - rad - 1:t - 1, :][:, ::-1, :]
+    right = jnp.where(idx == n_cp - 1, right_refl, right_recv)
+    x_ext = jnp.concatenate([left, x, right], axis=1)
+    shifts = jax.random.randint(key, (b,), -rad, rad + 1)
+
+    def take(clip, n):
+        return lax.dynamic_slice(clip, (rad - n, 0), (t, c))
+
+    return jax.vmap(take)(x_ext, shifts)

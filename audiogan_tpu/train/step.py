@@ -36,11 +36,19 @@ def num_views(cfg: Config) -> int:
     return cfg.loss.n_critic + (1 if cfg.loss.stft_loss_weight > 0 else 0)
 
 
-def build_train_step(cfg: Config) -> Callable[..., tuple[TrainState, dict]]:
+def build_train_step(cfg: Config, axis_name: str | None = None
+                     ) -> Callable[..., tuple[TrainState, dict]]:
     """Build the pure (state, raw, labels) -> (state, metrics) step.
 
     The returned function is NOT yet jit'd — the caller jits it with the
     mesh shardings it wants (train.loop for real runs, tests directly).
+
+    axis_name=None (default): parallelism-agnostic step; under jit with
+    batch-sharded inputs XLA's SPMD partitioner inserts the grad all-reduce.
+    axis_name="data": explicit-collective variant for shard_map — gradients
+    are lax.pmean'd over the axis (the ICI all-reduce of [B:5]) and the
+    PRNG stream folds in axis_index so replicas draw decorrelated z/crops
+    while applying identical (pmean'd) updates.
     """
     g = build_generator(cfg)
     d = build_discriminator(cfg)
@@ -101,6 +109,8 @@ def build_train_step(cfg: Config) -> Callable[..., tuple[TrainState, dict]]:
 
         (d_loss, (w_dist, gp, gnorm)), grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(params_d)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)     # ICI all-reduce
         updates, opt_d_state = opt_d.update(grads, opt_d_state, params_d)
         params_d = jax.tree.map(lambda p, u: p + u, params_d, updates)
         metrics = dict(d_loss=d_loss, w_dist=w_dist, gp=gp, gp_grad_norm=gnorm)
@@ -110,6 +120,10 @@ def build_train_step(cfg: Config) -> Callable[..., tuple[TrainState, dict]]:
                 ) -> tuple[TrainState, dict[str, jnp.ndarray]]:
         base = jax.random.wrap_key_data(state.base_key)
         (step_key,) = split_for_step(base, state.step, "step")
+        if axis_name is not None:
+            # decorrelate replicas' data randomness (z, crops, eps, shifts)
+            step_key = jax.random.fold_in(
+                step_key, jax.lax.axis_index(axis_name))
 
         # ---- n_critic critic updates: lax.scan, fresh real view each ----
         views = (raw[:n_critic], labels[:n_critic],
@@ -143,6 +157,8 @@ def build_train_step(cfg: Config) -> Callable[..., tuple[TrainState, dict]]:
 
         (g_loss, g_aux), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.params_g)
+        if axis_name is not None:
+            g_grads = jax.lax.pmean(g_grads, axis_name)
         g_updates, opt_g_state = opt_g.update(g_grads, state.opt_g,
                                               state.params_g)
         params_g = jax.tree.map(lambda p, u: p + u, state.params_g, g_updates)
@@ -151,6 +167,8 @@ def build_train_step(cfg: Config) -> Callable[..., tuple[TrainState, dict]]:
         metrics["d_loss_mean"] = jnp.mean(d_metrics["d_loss"])
         metrics["g_loss"] = g_loss
         metrics.update(g_aux)
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
 
         new_state = state.replace(
             step=state.step + 1,

@@ -1,0 +1,38 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiogan_tpu.kernels import gru_cell as pgru
+from audiogan_tpu.ops.gru import gru_cell as xgru
+
+
+def _params(rng, b=8, in_dim=32, hid=64):
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    return (r(b, in_dim), r(b, hid), r(in_dim, 3 * hid) * 0.2,
+            r(hid, 3 * hid) * 0.2, r(3 * hid) * 0.1, r(3 * hid) * 0.1)
+
+
+def test_matches_xla_cell(rng):
+    args = _params(rng)
+    np.testing.assert_allclose(np.asarray(pgru(*args)),
+                               np.asarray(xgru(*args)), atol=1e-5)
+
+
+def test_grads_match(rng):
+    args = _params(rng, b=4, in_dim=16, hid=32)
+
+    def loss(f):
+        return lambda *a: jnp.sum(f(*a) ** 2)
+
+    gp = jax.grad(loss(pgru), argnums=tuple(range(6)))(*args)
+    gx = jax.grad(loss(xgru), argnums=tuple(range(6)))(*args)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_large_hidden_falls_back(rng):
+    # weights too large for VMEM -> silently uses the XLA cell
+    args = _params(rng, b=2, in_dim=1024, hid=1024)
+    np.testing.assert_allclose(np.asarray(pgru(*args)),
+                               np.asarray(xgru(*args)), atol=1e-5)

@@ -1,0 +1,116 @@
+"""On-hardware Pallas validation (run manually: python tests_tpu/run_pallas_tpu.py).
+
+Compiled (not interpreted) equivalence of the Pallas conv/GRU kernels vs the
+XLA path on the real TPU chip, plus a microbenchmark of each kernel.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiogan_tpu.kernels import conv1d as pconv1d
+from audiogan_tpu.kernels import conv_transpose1d as pconvt1d
+from audiogan_tpu.kernels import gru_cell as pgru
+from audiogan_tpu.ops.conv import conv1d as xconv1d
+from audiogan_tpu.ops.conv import conv_transpose1d as xconvt1d
+from audiogan_tpu.ops.gru import gru_cell as xgru
+
+
+def check(name, got, want, atol=2e-3, rtol=2e-3):
+    got, want = np.asarray(got), np.asarray(want)
+    err = np.max(np.abs(got - want)) if got.size else 0.0
+    ok = np.allclose(got, want, atol=atol, rtol=rtol)
+    print(f"{'OK ' if ok else 'FAIL'} {name}: max|diff|={err:.2e}")
+    return ok
+
+
+def timeit(name, fn, *args, iters=20):
+    out = jax.jit(fn)(*args)
+    float(np.asarray(out).ravel()[0])  # sync (host fetch)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jax.jit(fn)(*args)
+    float(np.asarray(out).ravel()[0])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"     {name}: {dt * 1e3:.3f} ms/call")
+    return dt
+
+
+def main():
+    print("devices:", jax.devices())
+    rng = np.random.default_rng(0)
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    ok = True
+
+    # flagship D layer shapes (batch 64)
+    for (b, t, cin, cout, k, s) in [
+        (64, 4096, 64, 128, 25, 4),
+        (64, 1024, 128, 256, 25, 4),
+        (64, 256, 256, 512, 25, 4),
+        (64, 64, 512, 1024, 25, 4),
+    ]:
+        x, w = r(b, t, cin), r(k, cin, cout) * 0.05
+        got = jax.jit(lambda x, w: pconv1d(x, w, s, "SAME"))(x, w)
+        want = jax.jit(lambda x, w: xconv1d(x, w, stride=s, impl="xla"))(x, w)
+        ok &= check(f"conv1d {t}x{cin}->{cout}", got, want)
+        tp = timeit("pallas", lambda x, w: pconv1d(x, w, s, "SAME"), x, w)
+        tx = timeit("xla   ", lambda x, w: xconv1d(x, w, stride=s,
+                                                   impl="xla"), x, w)
+        print(f"     speedup: {tx / tp:.2f}x")
+
+    # flagship G layer shapes
+    for (b, t, cin, cout, k, s) in [
+        (64, 16, 1024, 512, 25, 4),
+        (64, 64, 512, 256, 25, 4),
+        (64, 256, 256, 128, 25, 4),
+        (64, 1024, 128, 64, 25, 4),
+    ]:
+        x, w = r(b, t, cin), r(k, cin, cout) * 0.05
+        got = jax.jit(lambda x, w: pconvt1d(x, w, s))(x, w)
+        want = jax.jit(lambda x, w: xconvt1d(x, w, stride=s,
+                                             impl="xla"))(x, w)
+        ok &= check(f"convt1d {t}x{cin}->{cout}", got, want)
+        tp = timeit("pallas", lambda x, w: pconvt1d(x, w, s), x, w)
+        tx = timeit("xla   ", lambda x, w: xconvt1d(x, w, stride=s,
+                                                    impl="xla"), x, w)
+        print(f"     speedup: {tx / tp:.2f}x")
+
+    # GP second-order through pallas conv, compiled
+    x, w = r(2, 256, 64) , r(25, 64, 64) * 0.1
+    def gp(conv):
+        def d_of_x(x, w):
+            return jnp.sum(jnp.tanh(conv(x, w)))
+        def f(w):
+            g = jax.grad(d_of_x, argnums=0)(x, w)
+            return jnp.sum(jnp.square(g))
+        return f
+    gp_p = jax.jit(jax.grad(gp(lambda x, w: pconv1d(x, w, 4, "SAME"))))(w)
+    gp_x = jax.jit(jax.grad(gp(lambda x, w: xconv1d(x, w, stride=4,
+                                                    impl="xla"))))(w)
+    # Loose tolerance is CORRECT here: vs CPU f32 truth, TPU-XLA's 2nd-order
+    # grad is ~7% off and the pallas path ~3% off (default-precision bf16
+    # matmul passes accumulate over the long double-backprop chain; measured
+    # 2026-08-16). The pallas kernels' f32 accumulation is the MORE accurate
+    # of the two — exact equivalence holds in f32 (tests/pallas on CPU).
+    ok &= check("2nd-order GP grad (compiled, default precision)", gp_p,
+                gp_x, atol=2.0, rtol=0.15)
+
+    # GRU cell (cond_gru_sc09 shapes)
+    xg, hg = r(64, 1024), r(64, 512)
+    wi, wh = r(1024, 1536) * 0.05, r(512, 1536) * 0.05
+    bi, bh = r(1536) * 0.1, r(1536) * 0.1
+    got = jax.jit(pgru)(xg, hg, wi, wh, bi, bh)
+    want = jax.jit(xgru)(xg, hg, wi, wh, bi, bh)
+    ok &= check("gru_cell 1024->512", got, want, atol=1e-4)
+    tp = timeit("pallas", pgru, xg, hg, wi, wh, bi, bh)
+    tx = timeit("xla   ", xgru, xg, hg, wi, wh, bi, bh)
+    print(f"     speedup: {tx / tp:.2f}x")
+
+    print("ALL OK" if ok else "FAILURES PRESENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

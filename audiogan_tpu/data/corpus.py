@@ -35,6 +35,8 @@ def build_corpus(
     center-padded/cropped to store_len at their native rate; rate mismatch
     across files is an error (resampling is on-device, one rate per corpus).
     """
+    from audiogan_tpu.data import native
+
     wav_dir, out_dir = Path(wav_dir), Path(out_dir)
     paths = sorted(wav_dir.rglob("*.wav"))
     if not paths:
@@ -42,16 +44,24 @@ def build_corpus(
     clips = np.zeros((len(paths), store_len), dtype=np.int16)
     labels = np.full((len(paths),), -1, dtype=np.int32)
     rate = source_rate
+    use_native = native.available()
     for i, p in enumerate(paths):
-        r, x = read_wav(p)
+        r = None
+        if use_native:
+            decoded = native.decode_to_store(p.read_bytes(), store_len)
+            if decoded is not None:
+                r, clips[i] = decoded
+        if r is None:  # numpy fallback (no native lib / exotic format)
+            r, x = read_wav(p)
+            n = min(len(x), store_len)
+            off = max((len(x) - store_len) // 2, 0)
+            # scale by 32768 so int16 sources pass through bit-exactly
+            clips[i, :n] = np.clip(np.rint(x[off:off + n] * 32768.0),
+                                   -32768, 32767).astype(np.int16)
         if rate is None:
             rate = r
         elif r != rate:
             raise ValueError(f"{p}: rate {r} != corpus rate {rate}")
-        n = min(len(x), store_len)
-        off = max((len(x) - store_len) // 2, 0)
-        clips[i, :n] = np.clip(x[off:off + n] * 32767.0, -32768, 32767
-                               ).astype(np.int16)
         if p.parent.name.lstrip("-").isdigit():
             labels[i] = int(p.parent.name)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -15,6 +15,6 @@ differentiation re-enters ops that again have VJPs, closing the recursion.
 """
 
 from audiogan_tpu.kernels.conv import conv1d, conv_transpose1d
-from audiogan_tpu.kernels.gru import gru_cell
+from audiogan_tpu.kernels.gru import gru_cell, gru_scan
 
-__all__ = ["conv1d", "conv_transpose1d", "gru_cell"]
+__all__ = ["conv1d", "conv_transpose1d", "gru_cell", "gru_scan"]

@@ -124,3 +124,143 @@ def _gru_bwd2(res, g):
 
 
 gru_cell.defvjp(_gru_fwd2, _gru_bwd2)
+
+
+# ---------------------------------------------------------------------------
+# Persistent fused GRU scan (the cuDNN-persistent-RNN analog)
+# ---------------------------------------------------------------------------
+#
+# The GRU generator's recurrence is a lax.scan of small matmuls — on TPU that
+# costs one kernel dispatch + weight refetch per frame. This kernel runs the
+# ENTIRE frame scan as ONE pallas_call: grid=(n_frames,), all weight matrices
+# resident in VMEM across grid steps, the (h, feat) carry living in VMEM
+# scratch. Each grid step computes
+#     x_t    = concat(feat_{t-1} @ w_ar, cond_proj)
+#     h_t    = GRUCell(x_t, h_{t-1})
+#     feat_t = tanh(h_t @ w_out + b_out)
+# and writes feat_t to its output block. Gradients: custom_vjp whose backward
+# re-runs the equivalent (numerically identical) XLA scan under jax.vjp — the
+# generator only needs first-order grads (SURVEY R2).
+
+def _gru_scan_kernel(h0_ref, cond_ref, wi_ref, wh_ref, bi_ref, bh_ref,
+                     war_ref, wout_ref, bout_ref, o_ref, h_s, f_s, *, hid):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[...] = h0_ref[...].astype(jnp.float32)
+        f_s[...] = jnp.zeros_like(f_s)
+
+    ar = jnp.dot(f_s[...], war_ref[...], preferred_element_type=jnp.float32)
+    x = jnp.concatenate([ar, cond_ref[...].astype(jnp.float32)], axis=-1)
+    gi = jnp.dot(x, wi_ref[...].astype(jnp.float32),
+                 preferred_element_type=jnp.float32) + bi_ref[...]
+    gh = jnp.dot(h_s[...], wh_ref[...].astype(jnp.float32),
+                 preferred_element_type=jnp.float32) + bh_ref[...]
+    i_r, i_z, i_n = gi[:, :hid], gi[:, hid:2 * hid], gi[:, 2 * hid:]
+    h_r, h_z, h_n = gh[:, :hid], gh[:, hid:2 * hid], gh[:, 2 * hid:]
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    h = (1.0 - z) * n + z * h_s[...]
+    feat = jnp.tanh(jnp.dot(h, wout_ref[...].astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+                    + bout_ref[...])
+    h_s[...] = h
+    f_s[...] = feat
+    o_ref[0] = feat.astype(o_ref.dtype)
+
+
+def _gru_scan_xla(h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out, b_out,
+                  n_frames):
+    """Reference scan — identical math, used for fallback and for the VJP."""
+    from audiogan_tpu.ops.gru import gru_cell as xla_cell
+
+    def step(carry, _):
+        h, prev_feat = carry
+        x = jnp.concatenate([prev_feat @ w_ar, cond_proj], axis=-1)
+        h = xla_cell(x, h, w_i, w_h, b_i, b_h, impl="xla")
+        feat = jnp.tanh(h @ w_out + b_out)
+        return (h, feat), feat
+
+    f0 = jnp.zeros((h0.shape[0], w_ar.shape[0]), h0.dtype)
+    _, feats = jax.lax.scan(step, (h0, f0), None, length=n_frames)
+    return jnp.transpose(feats, (1, 0, 2))      # [B, n_frames, F]
+
+
+def _gru_scan_impl(h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out, b_out,
+                   n_frames):
+    b, hid = h0.shape
+    feat = w_ar.shape[0]
+    weight_bytes = 4 * (w_i.size + w_h.size + w_ar.size + w_out.size)
+    if weight_bytes > _MAX_VMEM_WEIGHTS:
+        return _gru_scan_xla(h0, cond_proj, w_i, w_h, b_i, b_h, w_ar,
+                             w_out, b_out, n_frames)
+    out = pl.pallas_call(
+        functools.partial(_gru_scan_kernel, hid=hid),
+        grid=(n_frames,),
+        in_specs=[
+            pl.BlockSpec(h0.shape, lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(cond_proj.shape, lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_i.shape, lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_h.shape, lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * hid), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * hid), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_ar.shape, lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_out.shape, lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, feat), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, b, feat), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_frames, b, feat), h0.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((b, hid), jnp.float32),
+            pltpu.VMEM((b, feat), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_frames * b * (feat * feat + 3 * hid * (2 * feat + hid)
+                                      + hid * feat),
+            bytes_accessed=weight_bytes + 4 * n_frames * b * feat,
+            transcendentals=8 * n_frames * b * hid),
+        interpret=_INTERPRET,
+    )(h0, cond_proj, w_i, w_h, b_i[None, :], b_h[None, :], w_ar, w_out,
+      b_out[None, :])
+    return jnp.transpose(out, (1, 0, 2))        # [B, n_frames, F]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def gru_scan(h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out, b_out,
+             n_frames):
+    """Whole frame-level GRU recurrence fused into one TPU kernel.
+
+    h0 [B,H], cond_proj [B,F] -> frame features [B, n_frames, F].
+    """
+    return _gru_scan_impl(h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out,
+                          b_out, n_frames)
+
+
+def _gru_scan_fwd(h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out, b_out,
+                  n_frames):
+    out = _gru_scan_impl(h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out,
+                         b_out, n_frames)
+    return out, (h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out, b_out)
+
+
+def _gru_scan_bwd(n_frames, res, g):
+    # backward = vjp through the numerically-identical XLA scan (recomputes
+    # the forward once; G only ever needs first-order grads)
+    _, vjp = jax.vjp(
+        lambda *a: _gru_scan_xla(*a, n_frames=n_frames), *res)
+    return vjp(g)
+
+
+gru_scan.defvjp(_gru_scan_fwd, _gru_scan_bwd)

@@ -87,16 +87,24 @@ class GRUGenerator(nn.Module):
         w_i_, w_h_, b_i_, b_h_ = (p.astype(dt) for p in (w_i, w_h, b_i, b_h))
         w_ar_, w_out_, b_out_ = (p.astype(dt) for p in (w_ar, w_out, b_out))
 
-        def step(carry, _):
-            h, prev_feat = carry
-            x = jnp.concatenate([prev_feat @ w_ar_, cond_proj], axis=-1)
-            h = gru_cell(x, h, w_i_, w_h_, b_i_, b_h_, impl=self.kernels)
-            feat = jnp.tanh(h @ w_out_ + b_out_)
-            return (h, feat), feat
+        if self.kernels == "pallas":
+            # whole recurrence as ONE persistent TPU kernel (weights stay
+            # resident in VMEM across frames — see kernels.gru.gru_scan)
+            from audiogan_tpu.kernels import gru_scan
+            feats = gru_scan(h0, cond_proj, w_i_, w_h_, b_i_, b_h_,
+                             w_ar_, w_out_, b_out_, n_frames)
+        else:
+            def step(carry, _):
+                h, prev_feat = carry
+                x = jnp.concatenate([prev_feat @ w_ar_, cond_proj], axis=-1)
+                h = gru_cell(x, h, w_i_, w_h_, b_i_, b_h_, impl="xla")
+                feat = jnp.tanh(h @ w_out_ + b_out_)
+                return (h, feat), feat
 
-        f0 = jnp.zeros((b, feat_dim), dt)
-        (_, _), feats = jax.lax.scan(step, (h0, f0), None, length=n_frames)
-        feats = jnp.transpose(feats, (1, 0, 2))          # [B, n_frames, F]
+            f0 = jnp.zeros((b, feat_dim), dt)
+            (_, _), feats = jax.lax.scan(step, (h0, f0), None,
+                                         length=n_frames)
+            feats = jnp.transpose(feats, (1, 0, 2))      # [B, n_frames, F]
 
         # conv_transpose upsample: frames -> samples (frame_size x)
         h = feats

@@ -95,11 +95,25 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
     total = cfg.train.total_steps
     metrics = {}
     t_log = time.time()
+
+    # Host prefetch (SURVEY C6): the batcher thread samples ahead while the
+    # device steps; device_put of the NEXT batch overlaps the current step
+    # because jit dispatch is async.
+    batcher.start_prefetch(start, total)
+
+    def put(item):
+        s, (clips, labels) = item
+        return s, (jax.device_put(clips, b_shard),
+                   jax.device_put(labels, l_shard))
+
+    pending = batcher.next_prefetched()
+    staged = put(pending) if pending is not None else None
     for step in range(start, total):
-        clips, labels = batcher.get(step)
-        clips = jax.device_put(clips, b_shard)
-        labels = jax.device_put(labels, l_shard)
+        assert staged is not None and staged[0] == step
+        clips, labels = staged[1]
         state, metrics = jit_step(state, clips, labels)
+        nxt = batcher.next_prefetched()
+        staged = put(nxt) if nxt is not None else None
 
         if (step + 1) % cfg.train.log_every == 0 or step + 1 == total:
             metrics = jax.device_get(metrics)  # sync point

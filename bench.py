@@ -85,6 +85,11 @@ def main():
     ap.add_argument("--preset", default="wgan_gp_b64")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--kernels", default=None, choices=["xla", "pallas"])
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="compute dtype (params stay f32); bf16 is the "
+                         "production TPU path — GP norms track f32 to 1e-3 "
+                         "(BASELINE.md)")
     ap.add_argument("--measure_proxy", action="store_true",
                     help="also run the torch-CPU proxy (slow)")
     args = ap.parse_args()
@@ -92,6 +97,7 @@ def main():
     from audiogan_tpu.cli import apply_overrides
     from audiogan_tpu.config import get_preset
     cfg = get_preset(args.preset)
+    cfg = apply_overrides(cfg, [f"train.dtype={args.dtype}"])
     if args.kernels:
         cfg = apply_overrides(cfg, [f"train.kernels={args.kernels}"])
 
@@ -113,6 +119,7 @@ def main():
         "batch": cfg.train.batch_size,
         "n_critic": cfg.loss.n_critic,
         "kernels": cfg.train.kernels,
+        "dtype": cfg.train.dtype,
         "proxy_steps_per_sec": round(proxy, 5),
     }))
 

@@ -36,3 +36,33 @@ def test_large_hidden_falls_back(rng):
     args = _params(rng, b=2, in_dim=1024, hid=1024)
     np.testing.assert_allclose(np.asarray(pgru(*args)),
                                np.asarray(xgru(*args)), atol=1e-5)
+
+
+def test_gru_scan_matches_xla(rng):
+    from audiogan_tpu.kernels.gru import _gru_scan_xla, gru_scan
+    b, hid, feat, n_frames = 4, 32, 16, 8
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    args = (r(b, hid), r(b, feat), r(2 * feat, 3 * hid) * 0.2,
+            r(hid, 3 * hid) * 0.2, r(3 * hid) * 0.1, r(3 * hid) * 0.1,
+            r(feat, feat) * 0.2, r(hid, feat) * 0.2, r(feat) * 0.1)
+    got = gru_scan(*args, n_frames)
+    want = _gru_scan_xla(*args, n_frames=n_frames)
+    assert got.shape == (b, n_frames, feat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_gru_scan_grads_match_xla(rng):
+    from audiogan_tpu.kernels.gru import _gru_scan_xla, gru_scan
+    b, hid, feat, n_frames = 2, 16, 8, 4
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    args = (r(b, hid), r(b, feat), r(2 * feat, 3 * hid) * 0.2,
+            r(hid, 3 * hid) * 0.2, r(3 * hid) * 0.1, r(3 * hid) * 0.1,
+            r(feat, feat) * 0.2, r(hid, feat) * 0.2, r(feat) * 0.1)
+    argnums = tuple(range(9))
+    gp = jax.grad(lambda *a: jnp.sum(gru_scan(*a, n_frames) ** 2),
+                  argnums=argnums)(*args)
+    gx = jax.grad(lambda *a: jnp.sum(_gru_scan_xla(*a, n_frames=n_frames) ** 2),
+                  argnums=argnums)(*args)
+    for i, (a, b_) in enumerate(zip(gp, gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4, err_msg=str(i))

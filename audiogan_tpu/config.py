@@ -77,6 +77,7 @@ class LossCfg:
     n_critic: int = 5
     stft_loss_weight: float = 0.0   # aux multi-res spectral term on G (dual_stft)
     drift_epsilon: float = 0.0      # optional D-score drift penalty (off by default)
+    gp_batch_chunks: int = 1        # >1 bounds GP memory on long clips [B:11]
 
 
 @dataclass(frozen=True)
@@ -95,6 +96,12 @@ class TrainCfg:
     remat_discriminator: bool = True   # checkpoint D fwd inside the n_critic scan
     kernels: str = "xla"            # xla | pallas — A1 fast path selector
     dtype: str = "float32"          # compute dtype for conv stacks
+    # observability (SURVEY §5): xplane trace window, optimized-HLO dump of
+    # the single train-step graph, NaN debugging
+    profile_dir: str = ""           # write a jax.profiler trace here
+    profile_steps: tuple[int, int] = (5, 10)  # trace window (rel. to start)
+    dump_hlo: bool = False          # save step_optimized_hlo.txt in workdir
+    debug_nans: bool = False
 
 
 @dataclass(frozen=True)

@@ -266,6 +266,13 @@ def conv1d_lowered(x, w, stride, pad_lo, pad_hi):
         return lax.conv_general_dilated(
             x, w, window_strides=(stride,), padding=[(pad_lo, pad_hi)],
             dimension_numbers=("NWC", "WIO", "NWC"))
+    if x.dtype != jnp.float32:
+        # sub-f32 dtypes change Mosaic's sublane tiling (2 packed values per
+        # word for bf16), which breaks the [B,R,s,C] slicing layout; the
+        # kernel accumulates in f32 anyway, so compute in f32 and cast back.
+        y = _conv1d_pallas(x.astype(jnp.float32), w.astype(jnp.float32),
+                           stride, pad_lo, pad_hi, t_out)
+        return y.astype(x.dtype)
     return _conv1d_pallas(x, w, stride, pad_lo, pad_hi, t_out)
 
 
@@ -282,6 +289,10 @@ def convt1d_lowered(x, w, stride, pad_lo, out_len):
             padding=[(pad_lo, total_pad - pad_lo)],
             lhs_dilation=(stride,),
             dimension_numbers=("NWC", "WIO", "NWC"))
+    if x.dtype != jnp.float32:
+        y = _convt_pallas(x.astype(jnp.float32), w.astype(jnp.float32),
+                          stride, pad_lo, out_len)
+        return y.astype(x.dtype)
     return _convt_pallas(x, w, stride, pad_lo, out_len)
 
 

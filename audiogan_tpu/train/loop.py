@@ -80,12 +80,24 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
         state = ckpt_lib.restore(mngr, state)
         print(f"[resume] restored step {int(state.step)}", flush=True)
 
+    if cfg.train.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
     step_fn = build_train_step(cfg)
     # Sharding comes in through the operands (device_put below): params/state
     # replicated, batch sharded over 'data' — XLA's SPMD partitioner then
     # emits the grad all-reduce over ICI ([B:5]). donate state buffers.
     jit_step = jax.jit(step_fn, donate_argnums=(0,))
     b_shard, l_shard = batch_sharding(mesh), label_sharding(mesh)
+
+    if cfg.train.dump_hlo:
+        # auditable single-graph claim of [B:5]: the WHOLE training step
+        # (ingest + n_critic scan + GP double-backprop + both optimizers)
+        # is one optimized HLO module.
+        c0, l0 = batcher.get(int(state.step))
+        hlo = jit_step.lower(state, c0, l0).compile().as_text()
+        (workdir / "step_optimized_hlo.txt").write_text(hlo)
+        print(f"[hlo] dumped {len(hlo.splitlines())} lines", flush=True)
     state = jax.device_put(state, state_shardings(mesh, state))
 
     writer = MetricsWriter(workdir)
@@ -106,9 +118,20 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
         return s, (jax.device_put(clips, b_shard),
                    jax.device_put(labels, l_shard))
 
+    prof_on, prof_off = (start + cfg.train.profile_steps[0],
+                         start + cfg.train.profile_steps[1])
+
     pending = batcher.next_prefetched()
     staged = put(pending) if pending is not None else None
     for step in range(start, total):
+        if cfg.train.profile_dir:
+            if step == prof_on:
+                jax.profiler.start_trace(cfg.train.profile_dir)
+            elif step == prof_off:
+                jax.device_get(metrics)  # close out in-flight work
+                jax.profiler.stop_trace()
+                print(f"[profile] xplane trace in {cfg.train.profile_dir}",
+                      flush=True)
         assert staged is not None and staged[0] == step
         clips, labels = staged[1]
         state, metrics = jit_step(state, clips, labels)

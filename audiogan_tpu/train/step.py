@@ -100,7 +100,8 @@ def build_train_step(cfg: Config, axis_name: str | None = None
             real_scores = d_apply(p, real, lr, k_s1)
             fake_scores = d_apply(p, fake, labels_fake, k_s2)
             gp, gnorm = gradient_penalty(
-                lambda x: d_apply(p, x, lr, k_s3), real, fake, k_eps)
+                lambda x: d_apply(p, x, lr, k_s3), real, fake, k_eps,
+                batch_chunks=cfg.loss.gp_batch_chunks)
             loss = wgan_d_loss(real_scores, fake_scores) + gp_lambda * gp
             if drift:
                 loss = loss + drift * jnp.mean(jnp.square(real_scores))

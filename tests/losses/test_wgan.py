@@ -39,3 +39,24 @@ def test_gp_is_differentiable_wrt_params(rng):
     assert g.shape == theta.shape
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0.0
+
+
+def test_gp_chunked_matches_unchunked(rng):
+    import jax
+    w = jnp.asarray(rng.standard_normal((32, 1)).astype(np.float32))
+    d_apply = lambda x: jnp.tanh(jnp.sum(x * w, axis=(1, 2)))
+    real = jnp.asarray(rng.standard_normal((8, 32, 1)).astype(np.float32))
+    fake = jnp.asarray(rng.standard_normal((8, 32, 1)).astype(np.float32))
+    k = jax.random.key(2)
+    gp1, n1 = gradient_penalty(d_apply, real, fake, k, batch_chunks=1)
+    gp4, n4 = gradient_penalty(d_apply, real, fake, k, batch_chunks=4)
+    np.testing.assert_allclose(float(gp1), float(gp4), rtol=1e-6)
+    np.testing.assert_allclose(float(n1), float(n4), rtol=1e-6)
+
+    # and it stays differentiable wrt closed-over params through lax.map
+    def loss(th):
+        d = lambda x: jnp.tanh(jnp.sum(x * th, axis=(1, 2)))
+        gp, _ = gradient_penalty(d, real, fake, k, batch_chunks=4)
+        return gp
+    g = jax.grad(loss)(w)
+    assert np.isfinite(np.asarray(g)).all()

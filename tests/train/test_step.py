@@ -84,3 +84,19 @@ def test_gp_pulls_grad_norm_toward_one(tiny_cfg):
         tiny_cfg, train=dataclasses.replace(tiny_cfg.train, lr_d=2e-3))
     state, hist = _run_steps(cfg, 12)
     assert abs(hist[-1]["gp_grad_norm"] - 1.0) < abs(hist[0]["gp_grad_norm"] - 1.0)
+
+
+def test_gp_chunked_step_matches(tiny_cfg):
+    # phase shuffle draws per-example shifts positionally, so chunked GP is
+    # only bit-comparable with shuffling off (both variants are valid
+    # semantics; equality is the memory-path correctness check)
+    import dataclasses
+    base = dataclasses.replace(
+        tiny_cfg, model=dataclasses.replace(tiny_cfg.model, phase_shuffle=0))
+    cfg_c = dataclasses.replace(
+        base, loss=dataclasses.replace(base.loss, gp_batch_chunks=2))
+    _, h1 = _run_steps(base, 2)
+    _, h2 = _run_steps(cfg_c, 2)
+    for k in h1[-1]:
+        np.testing.assert_allclose(h1[-1][k], h2[-1][k], rtol=1e-4,
+                                   atol=1e-5, err_msg=k)

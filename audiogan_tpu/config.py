@@ -110,6 +110,10 @@ class MeshCfg:
 
     dp: int = 1                     # data-parallel axis size
     cp: int = 1                     # context (time-axis) parallel size
+    fsdp: bool = False              # shard optimizer state over 'data'
+                                    # (ZeRO-1 via sharding annotations,
+                                    # arXiv:2004.13336 — XLA partitions the
+                                    # weight update + inserts the gathers)
 
 
 @dataclass(frozen=True)

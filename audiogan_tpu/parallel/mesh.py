@@ -44,11 +44,30 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def state_shardings(mesh: Mesh, state: Any) -> Any:
-    """Replicate the whole TrainState (params are small; DP-only default).
+def state_shardings(mesh: Mesh, state: Any, fsdp: bool = False) -> Any:
+    """Sharding map for the TrainState.
 
-    FSDP-style sharded optimizer state (SURVEY §2.3) would change this map —
-    kept a single function so that lands in one place.
+    Default: replicate everything (params are small; DP-only).
+    fsdp=True (SURVEY §2.3, arXiv:2004.13336): shard each OPTIMIZER-state
+    leaf's leading axis over 'data' when divisible — XLA's SPMD partitioner
+    then computes the Adam update sharded and inserts the all-gather of the
+    updated params automatically (ZeRO-1 by annotation, no manual
+    collectives). Params and step/key stay replicated.
     """
     rep = replicated_sharding(mesh)
-    return jax.tree.map(lambda _: rep, state)
+    if not fsdp:
+        return jax.tree.map(lambda _: rep, state)
+    dp = mesh.shape["data"]
+
+    def opt_leaf(x):
+        if x.ndim >= 1 and x.shape[0] % dp == 0 and x.shape[0] >= dp:
+            return NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        return rep
+
+    return state.replace(
+        step=rep, base_key=rep,
+        params_g=jax.tree.map(lambda _: rep, state.params_g),
+        params_d=jax.tree.map(lambda _: rep, state.params_d),
+        opt_g=jax.tree.map(opt_leaf, state.opt_g),
+        opt_d=jax.tree.map(opt_leaf, state.opt_d),
+    )

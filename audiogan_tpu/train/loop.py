@@ -98,7 +98,7 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
         hlo = jit_step.lower(state, c0, l0).compile().as_text()
         (workdir / "step_optimized_hlo.txt").write_text(hlo)
         print(f"[hlo] dumped {len(hlo.splitlines())} lines", flush=True)
-    state = jax.device_put(state, state_shardings(mesh, state))
+    state = jax.device_put(state, state_shardings(mesh, state, cfg.mesh.fsdp))
 
     writer = MetricsWriter(workdir)
     sample_fn = build_sample_fn(cfg)

@@ -101,3 +101,38 @@ def test_shard_map_grads_equal_manual_replica_mean():
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     for sh in shards[1:]:
         np.testing.assert_array_equal(shards[0], sh)
+
+
+def test_fsdp_sharded_optimizer_matches_replicated():
+    """ZeRO-1 by sharding annotation (arXiv:2004.13336): sharding the
+    optimizer state over 'data' must not change the math."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(cfg, mesh=dataclasses.replace(cfg.mesh,
+                                                            fsdp=True))
+    mesh = make_mesh(cfg)
+
+    def run(fsdp):
+        state = create_train_state(cfg)
+        state = jax.device_put(state, state_shardings(mesh, state, fsdp))
+        step = jax.jit(build_train_step(cfg))
+        for s in range(2):
+            clips, labels = raw_batch(cfg, seed=100 + s)
+            clips = jax.device_put(clips, batch_sharding(mesh))
+            labels = jax.device_put(labels, label_sharding(mesh))
+            state, metrics = step(state, clips, labels)
+        return jax.device_get(metrics), state
+
+    m_rep, _ = run(False)
+    m_fsdp, state_fsdp = run(True)
+    for k in m_rep:
+        np.testing.assert_allclose(m_fsdp[k], m_rep[k], rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
+    # optimizer state leaves actually sharded over 'data'
+    shardings = [x.sharding for x in jax.tree.leaves(state_fsdp.opt_d)
+                 if hasattr(x, "sharding") and x.ndim >= 1
+                 and x.shape[0] % DP == 0 and x.shape[0] >= DP]
+    assert any(isinstance(s, NamedSharding) and "data" in str(s.spec)
+               for s in shardings), shardings

@@ -55,25 +55,46 @@ def _same_pads(t_in: int, k: int, s: int) -> tuple[int, int, int]:
 # strided conv1d
 # ---------------------------------------------------------------------------
 
-def _conv1d_kernel(x_hbm, w_ref, o_ref, xs, acc, sem, *, k, s, t_tile,
-                   cin_blk, rows_tile, full_ci):
+def _conv1d_kernel(x_hbm, w_ref, o_ref, xs, sem, *, k, s, t_tile,
+                   cin_blk, rows_tile, full_ci, grid_dims):
     b, ti, co, ci = (pl.program_id(i) for i in range(4))
-    # DMA the haloed input rows for this (b, t, ci) tile: [rows_tile, s, cin].
-    # Mosaic requires HBM slice sizes on the lane dim to be 128-aligned, so
-    # channel slicing only happens when cin_blk is a multiple of 128
-    # (full_ci covers the cin <= 128 case with a full-dim copy).
-    if full_ci:
-        src = x_hbm.at[b, pl.ds(ti * t_tile, rows_tile), :, :]
-    else:
-        src = x_hbm.at[b, pl.ds(ti * t_tile, rows_tile), :,
-                       pl.ds(ci * cin_blk, cin_blk)]
-    cp = pltpu.make_async_copy(src, xs, sem)
-    cp.start()
-    cp.wait()
+    nb, nt, nco, nci = grid_dims
+    total = nb * nt * nco * nci
+    linear = ((b * nt + ti) * nco + co) * nci + ci
+    slot = linear % 2
+
+    # Double-buffered haloed input DMA: step L starts step L+1's copy into
+    # the other slot before waiting on its own, hiding HBM latency behind
+    # the K matmuls. Mosaic requires HBM slice sizes on the lane dim to be
+    # 128-aligned, so channel slicing only happens when cin_blk is a
+    # multiple of 128 (full_ci covers cin <= 128 with a full-dim copy).
+    def make_dma(b_, ti_, ci_, slot_):
+        if full_ci:
+            src = x_hbm.at[b_, pl.ds(ti_ * t_tile, rows_tile), :, :]
+        else:
+            src = x_hbm.at[b_, pl.ds(ti_ * t_tile, rows_tile), :,
+                           pl.ds(ci_ * cin_blk, cin_blk)]
+        return pltpu.make_async_copy(src, xs.at[slot_], sem.at[slot_])
+
+    @pl.when(linear == 0)
+    def _():
+        make_dma(b, ti, ci, slot).start()
+
+    nxt = linear + 1
+
+    @pl.when(nxt < total)
+    def _():
+        ci_n = nxt % nci
+        rest = nxt // nci
+        ti_n = (rest // nco) % nt
+        b_n = rest // (nco * nt)
+        make_dma(b_n, ti_n, ci_n, nxt % 2).start()
+
+    make_dma(b, ti, ci, slot).wait()
 
     def tap(j, a):
         q, r = j // s, j % s
-        lhs = xs[pl.ds(q, t_tile), r, :]              # [t_tile, cin_blk]
+        lhs = xs[slot, pl.ds(q, t_tile), r, :]        # [t_tile, cin_blk]
         return a + jnp.dot(lhs, w_ref[j],
                            preferred_element_type=jnp.float32)
 
@@ -130,7 +151,7 @@ def _conv1d_pallas(x: jnp.ndarray, w: jnp.ndarray, s: int,
     out = pl.pallas_call(
         functools.partial(_conv1d_kernel, k=k, s=s, t_tile=t_tile,
                           cin_blk=cin_blk, rows_tile=rows_tile,
-                          full_ci=(n_ci == 1)),
+                          full_ci=(n_ci == 1), grid_dims=grid),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # x_rows stays in HBM
@@ -143,9 +164,8 @@ def _conv1d_pallas(x: jnp.ndarray, w: jnp.ndarray, s: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_t * t_tile, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((rows_tile, s, cin_blk), x.dtype),
-            pltpu.VMEM((1, 1), jnp.float32),           # (unused placeholder)
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, rows_tile, s, cin_blk), x.dtype),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
@@ -166,24 +186,45 @@ def _conv1d_pallas(x: jnp.ndarray, w: jnp.ndarray, s: int,
 # ---------------------------------------------------------------------------
 
 def _convt_kernel(x_hbm, w_ref, o_ref, xs, acc, sem, *, k, s, pad_lo,
-                  t_tile, cin_blk, rows_tile, qneg, full_ci):
+                  t_tile, cin_blk, rows_tile, qneg, full_ci, grid_dims):
     b, ti, co, ci = (pl.program_id(i) for i in range(4))
+    nb, nt, nco, nci = grid_dims
+    total = nb * nt * nco * nci
+    linear = ((b * nt + ti) * nco + co) * nci + ci
+    slot = linear % 2
+
     # x_hbm is [B, R, 1, C]: rows land on an untiled dim so arbitrary row
     # slices are legal; channel slices only when 128-aligned (see conv1d).
-    if full_ci:
-        src = x_hbm.at[b, pl.ds(ti * t_tile, rows_tile), :, :]
-    else:
-        src = x_hbm.at[b, pl.ds(ti * t_tile, rows_tile), :,
-                       pl.ds(ci * cin_blk, cin_blk)]
-    cp = pltpu.make_async_copy(src, xs, sem)
-    cp.start()
-    cp.wait()
+    # Double-buffered DMA as in _conv1d_kernel.
+    def make_dma(b_, ti_, ci_, slot_):
+        if full_ci:
+            src = x_hbm.at[b_, pl.ds(ti_ * t_tile, rows_tile), :, :]
+        else:
+            src = x_hbm.at[b_, pl.ds(ti_ * t_tile, rows_tile), :,
+                           pl.ds(ci_ * cin_blk, cin_blk)]
+        return pltpu.make_async_copy(src, xs.at[slot_], sem.at[slot_])
+
+    @pl.when(linear == 0)
+    def _():
+        make_dma(b, ti, ci, slot).start()
+
+    nxt = linear + 1
+
+    @pl.when(nxt < total)
+    def _():
+        ci_n = nxt % nci
+        rest = nxt // nci
+        ti_n = (rest // nco) % nt
+        b_n = rest // (nco * nt)
+        make_dma(b_n, ti_n, ci_n, nxt % 2).start()
+
+    make_dma(b, ti, ci, slot).wait()
 
     acc[...] = jnp.zeros_like(acc)
     for j in range(k):                                  # static unroll
         rho = (pad_lo - j) % s
         q = (rho + j - pad_lo) // s
-        lhs = xs[pl.ds(q + qneg, t_tile), 0, :]         # [t_tile, cin_blk]
+        lhs = xs[slot, pl.ds(q + qneg, t_tile), 0, :]   # [t_tile, cin_blk]
         acc[:, rho, :] += jnp.dot(lhs, w_ref[j],
                                   preferred_element_type=jnp.float32)
 
@@ -220,7 +261,7 @@ def _convt_pallas(x, w, s, pad_lo, out_len):
         functools.partial(_convt_kernel, k=k, s=s, pad_lo=pad_lo,
                           t_tile=t_tile, cin_blk=cin_blk,
                           rows_tile=rows_tile, qneg=qneg,
-                          full_ci=(n_ci == 1)),
+                          full_ci=(n_ci == 1), grid_dims=grid),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -233,9 +274,9 @@ def _convt_pallas(x, w, s, pad_lo, out_len):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_t * t_tile, s, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((rows_tile, 1, cin_blk), x.dtype),
+            pltpu.VMEM((2, rows_tile, 1, cin_blk), x.dtype),  # double buffer
             pltpu.VMEM((t_tile, s, cout_blk), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",

@@ -89,13 +89,18 @@ def main():
     gp_p = jax.jit(jax.grad(gp(lambda x, w: pconv1d(x, w, 4, "SAME"))))(w)
     gp_x = jax.jit(jax.grad(gp(lambda x, w: xconv1d(x, w, stride=4,
                                                     impl="xla"))))(w)
-    # Loose tolerance is CORRECT here: vs CPU f32 truth, TPU-XLA's 2nd-order
-    # grad is ~7% off and the pallas path ~3% off (default-precision bf16
-    # matmul passes accumulate over the long double-backprop chain; measured
-    # 2026-08-16). The pallas kernels' f32 accumulation is the MORE accurate
-    # of the two — exact equivalence holds in f32 (tests/pallas on CPU).
-    ok &= check("2nd-order GP grad (compiled, default precision)", gp_p,
-                gp_x, atol=2.0, rtol=0.15)
+    # Max-norm comparison with a loose bound is CORRECT here: vs CPU f32
+    # truth, TPU-XLA's 2nd-order grad is ~7% off (max-norm) and the pallas
+    # path ~3% off (default-precision matmul passes accumulate over the long
+    # double-backprop chain; measured 2026-08-16). The pallas kernels' f32
+    # accumulation is the MORE accurate of the two — exact equivalence holds
+    # in f32 (tests/pallas on CPU).
+    a, bb = np.asarray(gp_p), np.asarray(gp_x)
+    rel = np.abs(a - bb).max() / np.abs(bb).max()
+    ok2 = rel < 0.12
+    print(f"{'OK ' if ok2 else 'FAIL'} 2nd-order GP grad "
+          f"(compiled, default precision): max-norm rel={rel:.3f}")
+    ok &= ok2
 
     # GRU cell (cond_gru_sc09 shapes)
     xg, hg = r(64, 1024), r(64, 512)

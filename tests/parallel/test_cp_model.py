@@ -1,0 +1,78 @@
+"""Model-level CP: time-sharded critic == the unsharded flax module."""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from audiogan_tpu.models import build_discriminator
+from audiogan_tpu.parallel.cp_models import cp_discriminator_forward
+
+from helpers_train import tiny_config
+
+CP = 4
+
+
+def _mesh():
+    return Mesh(np.asarray(jax.devices()[:CP]), ("cp",))
+
+
+def _setup(num_classes=0):
+    cfg = tiny_config()
+    if num_classes:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, num_classes=num_classes))
+    d = build_discriminator(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, cfg.data.clip_len, 1))
+    labels = (jnp.array([1, 7], jnp.int32) if num_classes else None)
+    init_rngs = {"params": jax.random.key(1)}
+    params = (d.init(init_rngs, x, labels, train=False) if num_classes
+              else d.init(init_rngs, x, train=False))
+    return cfg, d, params, x, labels
+
+
+def test_cp_critic_matches_unsharded_eval():
+    cfg, d, params, x, _ = _setup()
+    want = d.apply(params, x, train=False)
+
+    fn = shard_map(
+        functools.partial(cp_discriminator_forward, cfg=cfg, axis="cp"),
+        mesh=_mesh(), in_specs=(P(), P(None, "cp", None)), out_specs=P())
+    got = jax.jit(fn)(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_cp_critic_matches_with_phase_shuffle():
+    cfg, d, params, x, _ = _setup()
+    key = jax.random.key(9)
+
+    # the unsharded module derives shuffle keys through flax make_rng, so
+    # scores aren't directly comparable key-for-key; assert the CP shuffle
+    # path is deterministic per key and finite (shift-equivalence of the op
+    # itself is pinned in test_halo.py)
+    fn2 = shard_map(
+        lambda p, v, k: cp_discriminator_forward(p, v, cfg, "cp", k),
+        mesh=_mesh(), in_specs=(P(), P(None, "cp", None), P()),
+        out_specs=P())
+    a = jax.jit(fn2)(params, x, key)
+    b = jax.jit(fn2)(params, x, key)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.isfinite(np.asarray(a)).all()
+
+
+def test_cp_critic_conditional():
+    cfg, d, params, x, labels = _setup(num_classes=10)
+    want = d.apply(params, x, labels, train=False)
+    fn = shard_map(
+        lambda p, v, y: cp_discriminator_forward(p, v, cfg, "cp",
+                                                 labels=y),
+        mesh=_mesh(), in_specs=(P(), P(None, "cp", None), P()),
+        out_specs=P())
+    got = jax.jit(fn)(params, x, labels)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)

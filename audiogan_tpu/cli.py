@@ -102,6 +102,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--step", type=int, default=None,
                    help="checkpoint step (default latest)")
 
+    e = sub.add_parser("eval", help="objective metrics: generated vs corpus")
+    e.add_argument("--workdir", required=True)
+    e.add_argument("--num", type=int, default=64)
+    e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--step", type=int, default=None)
+
+    bn = sub.add_parser("bench", help="run the headline benchmark")
+    bn.add_argument("--preset", default="wgan_gp_b64")
+    bn.add_argument("--steps", type=int, default=10)
+
     b = sub.add_parser("build-corpus", help="pack a wav tree into a corpus")
     b.add_argument("--wav_dir", required=True)
     b.add_argument("--out_dir", required=True)
@@ -141,6 +151,29 @@ def main(argv: list[str] | None = None) -> int:
             write_wav(path, cfg.data.sample_rate, w)
             print(path)
         return 0
+
+    if args.cmd == "eval":
+        from audiogan_tpu.train.evaluate import evaluate
+        from audiogan_tpu.train.loop import resolve_corpus
+        from audiogan_tpu.train.state import create_train_state
+        from audiogan_tpu.utils import checkpoint as ckpt_lib
+        workdir = Path(args.workdir)
+        cfg = Config.from_json((workdir / "config.json").read_text())
+        state = create_train_state(cfg)
+        mngr = ckpt_lib.make_manager(workdir, keep=cfg.train.keep_ckpts)
+        state = ckpt_lib.restore(mngr, state, step=args.step)
+        corpus = resolve_corpus(cfg, workdir)
+        out = evaluate(cfg, state.params_g, corpus, num=args.num,
+                       seed=args.seed)
+        out["step"] = int(state.step)
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "bench":
+        import subprocess
+        return subprocess.call(
+            [sys.executable, str(Path(__file__).parent.parent / "bench.py"),
+             "--preset", args.preset, "--steps", str(args.steps)])
 
     if args.cmd == "build-corpus":
         from audiogan_tpu.data.corpus import build_corpus

@@ -66,3 +66,27 @@ def test_build_corpus_cli(tmp_path, capsys):
                "--out_dir", str(tmp_path / "packed"), "--store_len", "512"])
     assert rc == 0
     assert (tmp_path / "packed" / "meta.json").exists()
+
+
+def test_eval_command(tmp_path, capsys):
+    workdir = tmp_path / "evalrun"
+    assert main([
+        "train", "--preset", "tiny_sc09", "--workdir", str(workdir),
+        "--total_steps", "2",
+        "--set", "model.model_dim=4", "--set", "model.kernel_size=9",
+        "--set", "model.max_channels=16", "--set", "train.batch_size=2",
+        "--set", "loss.n_critic=2", "--set", "train.log_every=1",
+        "--set", "train.ckpt_every=2", "--set", "train.sample_every=0",
+    ]) == 0
+    capsys.readouterr()
+    assert main(["eval", "--workdir", str(workdir), "--num", "4",
+                 "--seed", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["step"] == 2
+    for k in ("spectral_distance", "rms", "rms_real", "zcr", "peak"):
+        assert np.isfinite(out[k]), k
+    # deterministic
+    assert main(["eval", "--workdir", str(workdir), "--num", "4",
+                 "--seed", "1"]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == out2

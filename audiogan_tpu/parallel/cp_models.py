@@ -20,7 +20,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from audiogan_tpu.config import Config
-from audiogan_tpu.models.wavegan import _disc_channels
 from audiogan_tpu.parallel.halo import cp_conv1d, cp_phase_shuffle
 
 

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from audiogan_tpu.ops.conv import conv1d as conv1d_impl
-from audiogan_tpu.ops.conv import conv_transpose1d as convt_impl
 
 
 def _shift_from_left(x_edge: jnp.ndarray, axis: str) -> jnp.ndarray:

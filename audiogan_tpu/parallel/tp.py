@@ -17,7 +17,6 @@ scaling channel counts past one chip's HBM/FLOPs.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

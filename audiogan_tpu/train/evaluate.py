@@ -19,8 +19,6 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from audiogan_tpu.config import Config
 from audiogan_tpu.data.corpus import Corpus, HostBatcher
 from audiogan_tpu.losses import batch_spectral_matching_loss

@@ -16,15 +16,25 @@ import jax
 import orbax.checkpoint as ocp
 
 
-def make_manager(workdir: str | Path, keep: int = 3) -> ocp.CheckpointManager:
+def make_manager(workdir: str | Path, keep: int = 3,
+                 best_metric: str | None = None,
+                 best_mode: str = "min") -> ocp.CheckpointManager:
+    """keep-last-k manager; best_metric switches to keep-best-k by that
+    metric (SURVEY §5 'keep-last-k + best-by-metric policies')."""
     path = (Path(workdir) / "ckpt").absolute()
     path.mkdir(parents=True, exist_ok=True)
-    opts = ocp.CheckpointManagerOptions(max_to_keep=keep, create=True)
+    kw = {}
+    if best_metric is not None:
+        kw = dict(best_fn=lambda m: float(m[best_metric]),
+                  best_mode=best_mode)
+    opts = ocp.CheckpointManagerOptions(max_to_keep=keep, create=True, **kw)
     return ocp.CheckpointManager(path, options=opts)
 
 
-def save(mngr: ocp.CheckpointManager, state: Any, wait: bool = False) -> None:
-    mngr.save(int(state.step), args=ocp.args.StandardSave(state))
+def save(mngr: ocp.CheckpointManager, state: Any, wait: bool = False,
+         metrics: dict | None = None) -> None:
+    mngr.save(int(state.step), args=ocp.args.StandardSave(state),
+              metrics=metrics)
     if wait:
         mngr.wait_until_finished()
 

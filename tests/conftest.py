@@ -18,6 +18,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize (axon TPU plugin) sets jax_platforms to
+# "axon,cpu" in jax.config at interpreter start — BEFORE this conftest — and
+# config beats the env var, so the env assignment above is not enough.
+# Override the CONFIG before anything initializes a backend (verified
+# 2026-08-16: without this the "CPU" suite silently runs on the remote TPU,
+# where default-precision conv noise breaks the float-exact golden tests).
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()
+
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402

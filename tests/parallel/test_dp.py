@@ -136,3 +136,33 @@ def test_fsdp_sharded_optimizer_matches_replicated():
                  and x.shape[0] % DP == 0 and x.shape[0] >= DP]
     assert any(isinstance(s, NamedSharding) and "data" in str(s.spec)
                for s in shardings), shardings
+
+
+def test_auto_spmd_dp_equals_single_device():
+    """SURVEY §4.5: DP over 8 devices == the identical step on 1 device for
+    the same global batch (auto-SPMD partitions the same program, so the
+    math must match to reduction-order tolerance)."""
+    cfg = _cfg()
+    step = jax.jit(build_train_step(cfg))
+
+    def run(shard):
+        state = create_train_state(cfg)
+        if shard:
+            mesh = make_mesh(cfg)
+            state = jax.device_put(state, state_shardings(mesh, state))
+        hist = []
+        for s in range(2):
+            clips, labels = raw_batch(cfg, seed=100 + s)
+            if shard:
+                clips = jax.device_put(clips, batch_sharding(mesh))
+                labels = jax.device_put(labels, label_sharding(mesh))
+            state, metrics = step(state, clips, labels)
+            hist.append(jax.device_get(metrics))
+        return hist
+
+    h1 = run(shard=False)
+    h8 = run(shard=True)
+    for m1, m8 in zip(h1, h8):
+        for k in m1:
+            np.testing.assert_allclose(m8[k], m1[k], rtol=2e-4, atol=1e-5,
+                                       err_msg=k)

@@ -49,3 +49,17 @@ def test_resume_replays_identical_stream(tiny_cfg, tmp_path):
     for a, b in zip(jax.tree.leaves(jax.device_get(sA)),
                     jax.tree.leaves(jax.device_get(sB2))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_best_by_metric_policy(tiny_cfg, tmp_path):
+    mngr = ckpt_lib.make_manager(tmp_path, keep=1, best_metric="w_dist",
+                                 best_mode="max")
+    state = create_train_state(tiny_cfg)
+    step = jax.jit(build_train_step(tiny_cfg))
+    # three saves with increasing then decreasing metric: keep=1 best
+    for s, wd in [(0, 1.0), (1, 5.0), (2, 2.0)]:
+        clips, labels = _raw_batch(tiny_cfg, seed=s)
+        state, _ = step(state, clips, labels)
+        ckpt_lib.save(mngr, jax.device_get(state), wait=True,
+                      metrics={"w_dist": wd})
+    assert mngr.best_step() == 2  # step counter after 2nd save (w_dist 5.0)

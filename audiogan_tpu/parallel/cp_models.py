@@ -66,3 +66,51 @@ def cp_discriminator_forward(
         pooled = lax.psum(jnp.sum(h, axis=1), axis) / (n_cp * t_loc)
         score = score + jnp.sum(pooled * emb, axis=-1)
     return score
+
+
+def cp_generator_forward(
+    params,
+    z: jnp.ndarray,
+    cfg: Config,
+    axis: str = "cp",
+    labels: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Time-sharded WaveGAN generator: returns THIS shard's waveform slice
+    [B, clip_len/cp, 1] (== the matching slice of the unsharded module's
+    output; pinned by tests/parallel/test_cp_model.py).
+
+    The dense projection is tiny and replicated; each shard slices its rows
+    of the [B, base_len, c0] seed and every transposed conv runs as a
+    halo-exchange cp_conv_transpose1d, so activations never materialize the
+    full clip on one chip — the mechanism that scales [B:11] clips past a
+    single chip's HBM. Requires base_len % cp == 0.
+    """
+    m = cfg.model
+    p = params["params"]
+    idx = lax.axis_index(axis)
+    n_cp = lax.axis_size(axis)
+    n_layers = len(m.strides)
+
+    h = z
+    if cfg.data.num_classes:
+        assert labels is not None
+        emb = p["label_embed"]["embedding"][labels]
+        h = jnp.concatenate([h, emb], axis=-1)
+    h = h @ p["project"]["kernel"] + p["project"]["bias"]
+    total_stride = 1
+    for s in m.strides:
+        total_stride *= s
+    base_len = cfg.data.clip_len // total_stride
+    assert base_len % n_cp == 0, "base_len must divide over cp"
+    c0 = h.shape[-1] // base_len
+    h = jax.nn.relu(h.reshape(h.shape[0], base_len, c0))
+    h = lax.dynamic_slice_in_dim(h, idx * (base_len // n_cp),
+                                 base_len // n_cp, axis=1)
+
+    from audiogan_tpu.parallel.halo import cp_conv_transpose1d
+    for i, s in enumerate(m.strides):
+        w = p[f"convt_{i}_kernel"]
+        b = p[f"convt_{i}_bias"]
+        h = cp_conv_transpose1d(h, w, stride=s, axis=axis) + b
+        h = jax.nn.relu(h) if i < n_layers - 1 else jnp.tanh(h)
+    return h

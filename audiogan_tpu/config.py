@@ -143,6 +143,16 @@ class Config:
             raise ValueError("batch_size must be divisible by mesh.dp")
         if d.clip_len % self.mesh.cp != 0:
             raise ValueError("clip_len must be divisible by mesh.cp")
+        if self.mesh.cp > 1:
+            if m.generator != "wavegan" or m.use_stft_critic:
+                raise ValueError("cp>1 training supports wavegan G + conv "
+                                 "critic (train/cp_step.py)")
+            if self.mesh.fsdp:
+                raise ValueError("cp>1 with fsdp is not supported yet")
+            base = d.clip_len // m.total_stride
+            if base % self.mesh.cp != 0:
+                raise ValueError(f"generator base length {base} must be "
+                                 f"divisible by cp={self.mesh.cp}")
         return self
 
     def to_json(self) -> str:

@@ -1,0 +1,173 @@
+"""Fully context-parallel WGAN-GP train step (SURVEY §5 long-context;
+[B:11] beyond-one-chip clips).
+
+The standard step (train/step.py) shards the BATCH; this step additionally
+shards each clip's TIME axis over the 'cp' mesh axis via shard_map: the
+generator emits only its time slice (parallel.cp_models.cp_generator_forward),
+the critic scores time slices with halo exchanges and one psum'd head, and
+activations never materialize a full clip on any chip.
+
+Collective structure per critic update:
+  - ppermute halos per conv layer (ICI, O(kernel) bytes)
+  - one psum for the critic head score
+  - GP norm: per-example ||grad||^2 summed locally then psum'd over cp
+    (the gradient of a time-slice is the slice of the global gradient)
+  - parameter grads: each cp shard holds its slice's contribution ->
+    psum over 'cp', pmean over 'data'
+
+Numerics: with phase shuffle off, cp=N equals the unsharded step exactly
+(pinned by tests/parallel/test_cp_step.py). Supports the wavegan generator
+and the conv critic (the [B:11] music config); GRU/dual-STFT stay on the
+batch-parallel step.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from audiogan_tpu.config import Config
+from audiogan_tpu.losses import wgan_d_loss, wgan_g_loss
+from audiogan_tpu.ops.ingest import ingest_batch
+from audiogan_tpu.parallel.cp_models import (cp_discriminator_forward,
+                                             cp_generator_forward)
+from audiogan_tpu.train.state import TrainState, make_optimizers
+from audiogan_tpu.utils.prng import split_for_step
+
+
+def _cp_gradient_penalty(d_apply, real_loc, fake_loc, key, cp_axis):
+    """GP on time-sharded interpolates: eps is per-example and identical on
+    every cp shard (same key), so eps*real_loc+(1-eps)*fake_loc IS the local
+    slice of the global interpolate; the per-example norm sums squares
+    locally then psums over cp."""
+    b = real_loc.shape[0]
+    eps = jax.random.uniform(key, (b,) + (1,) * (real_loc.ndim - 1),
+                             dtype=real_loc.dtype)
+    xhat = eps * real_loc + (1.0 - eps) * fake_loc
+    grads = jax.grad(lambda v: jnp.sum(d_apply(v)))(xhat)
+    sq = jnp.sum(jnp.square(grads).reshape(b, -1), axis=-1)
+    sq = lax.psum(sq, cp_axis)
+    norms = jnp.sqrt(sq + 1e-12)
+    return jnp.mean(jnp.square(norms - 1.0)), jnp.mean(norms)
+
+
+def build_cp_train_step(cfg: Config, mesh) -> Callable:
+    """Returns jit'd step(state, raw, labels) with time sharded over 'cp'.
+
+    raw [n_views, B, store_len] is sharded over 'data' on B; each cp shard
+    ingests the full (local-batch) clip — cheap elementwise work — and
+    slices its time window; all model compute is time-sharded.
+    """
+    if cfg.model.generator != "wavegan" or cfg.model.use_stft_critic:
+        raise NotImplementedError(
+            "cp train step supports the wavegan G + conv critic configs")
+    n_critic = cfg.loss.n_critic
+    gp_lambda = cfg.loss.gp_lambda
+    latent = cfg.model.latent_dim
+    opt_g, opt_d = make_optimizers(cfg)
+    conditional = cfg.data.num_classes > 0
+
+    def g_apply(params_g, z, labels):
+        return cp_generator_forward(params_g, z, cfg, "cp", labels)
+
+    def d_apply(params_d, x_loc, labels, key):
+        return cp_discriminator_forward(params_d, x_loc, cfg, "cp",
+                                        shuffle_key=key, labels=labels)
+
+    def psum_cp_pmean_data(tree):
+        tree = jax.tree.map(lambda g: lax.psum(g, "cp"), tree)
+        return jax.tree.map(lambda g: lax.pmean(g, "data"), tree)
+
+    def body(state: TrainState, raw, labels):
+        base = jax.random.wrap_key_data(state.base_key)
+        (step_key,) = split_for_step(base, state.step, "step")
+        # decorrelate data-parallel replicas; cp shards MUST share keys
+        step_key = jax.random.fold_in(step_key, lax.axis_index("data"))
+        cp_idx = lax.axis_index("cp")
+        n_cp = lax.axis_size("cp")
+        t_loc = cfg.data.clip_len // n_cp
+
+        def d_micro(carry, view):
+            params_d, opt_d_state = carry
+            raw_v, labels_v, i = view
+            k = jax.random.fold_in(step_key, i)
+            k_crop, k_z, k_eps, k_lab, k_s1, k_s2, k_s3 = \
+                jax.random.split(k, 7)
+            real = ingest_batch(raw_v, cfg.data, k_crop)[..., None]
+            real_loc = lax.dynamic_slice_in_dim(real, cp_idx * t_loc, t_loc,
+                                                axis=1)
+            bsz = real.shape[0]
+            lab_f = (jax.random.randint(k_lab, (bsz,), 0,
+                                        cfg.data.num_classes)
+                     if conditional else None)
+            lab_r = labels_v if conditional else None
+            z = jax.random.normal(k_z, (bsz, latent))
+            fake_loc = lax.stop_gradient(g_apply(state.params_g, z, lab_f))
+
+            sk1 = k_s1 if cfg.model.phase_shuffle else None
+            sk2 = k_s2 if cfg.model.phase_shuffle else None
+            sk3 = k_s3 if cfg.model.phase_shuffle else None
+
+            def d_loss_fn(p):
+                rs = d_apply(p, real_loc, lab_r, sk1)
+                fs = d_apply(p, fake_loc, lab_f, sk2)
+                gp, gnorm = _cp_gradient_penalty(
+                    lambda v: d_apply(p, v, lab_r, sk3), real_loc, fake_loc,
+                    k_eps, "cp")
+                loss = wgan_d_loss(rs, fs) + gp_lambda * gp
+                return loss, (jnp.mean(rs) - jnp.mean(fs), gp, gnorm)
+
+            (d_loss, (w_dist, gp, gnorm)), grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(params_d)
+            grads = psum_cp_pmean_data(grads)
+            updates, opt_d_state = opt_d.update(grads, opt_d_state, params_d)
+            params_d = jax.tree.map(lambda a, u: a + u, params_d, updates)
+            return (params_d, opt_d_state), dict(
+                d_loss=d_loss, w_dist=w_dist, gp=gp, gp_grad_norm=gnorm)
+
+        views = (raw[:n_critic], labels[:n_critic],
+                 jnp.arange(n_critic, dtype=jnp.int32))
+        (params_d, opt_d_state), d_metrics = lax.scan(
+            d_micro, (state.params_d, state.opt_d), views)
+
+        kg = jax.random.fold_in(step_key, n_critic + 1)
+        k_z, k_lab, k_shuf = jax.random.split(kg, 3)
+        bsz = raw.shape[1]
+        lab_g = (jax.random.randint(k_lab, (bsz,), 0, cfg.data.num_classes)
+                 if conditional else None)
+        skg = k_shuf if cfg.model.phase_shuffle else None
+
+        def g_loss_fn(p):
+            z = jax.random.normal(k_z, (bsz, latent))
+            fake_loc = g_apply(p, z, lab_g)
+            return wgan_g_loss(d_apply(params_d, fake_loc, lab_g, skg))
+
+        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.params_g)
+        g_grads = psum_cp_pmean_data(g_grads)
+        g_updates, opt_g_state = opt_g.update(g_grads, state.opt_g,
+                                              state.params_g)
+        params_g = jax.tree.map(lambda a, u: a + u, state.params_g,
+                                g_updates)
+
+        metrics = {k: v[-1] for k, v in d_metrics.items()}
+        metrics["g_loss"] = g_loss
+        metrics = jax.lax.pmean(jax.lax.pmean(metrics, "data"), "cp")
+        new_state = state.replace(step=state.step + 1, params_g=params_g,
+                                  params_d=params_d, opt_g=opt_g_state,
+                                  opt_d=opt_d_state)
+        return new_state, metrics
+
+    def make(state):
+        specs = jax.tree.map(lambda _: P(), state)
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(specs, P(None, "data", None), P(None, "data")),
+            out_specs=(specs, P()),
+            check_vma=True)
+        return jax.jit(fn, donate_argnums=(0,))
+
+    return make

@@ -83,11 +83,17 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
     if cfg.train.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
-    step_fn = build_train_step(cfg)
-    # Sharding comes in through the operands (device_put below): params/state
-    # replicated, batch sharded over 'data' — XLA's SPMD partitioner then
-    # emits the grad all-reduce over ICI ([B:5]). donate state buffers.
-    jit_step = jax.jit(step_fn, donate_argnums=(0,))
+    if cfg.mesh.cp > 1:
+        # fully context-parallel step: clips' time axis sharded over 'cp'
+        # (shard_map with explicit halo/psum collectives, train/cp_step.py)
+        from audiogan_tpu.train.cp_step import build_cp_train_step
+        jit_step = build_cp_train_step(cfg, mesh)(state)
+    else:
+        step_fn = build_train_step(cfg)
+        # Sharding comes in through the operands (device_put below): state
+        # replicated, batch sharded over 'data' — XLA's SPMD partitioner
+        # then emits the grad all-reduce over ICI ([B:5]). donate buffers.
+        jit_step = jax.jit(step_fn, donate_argnums=(0,))
     b_shard, l_shard = batch_sharding(mesh), label_sharding(mesh)
 
     if cfg.train.dump_hlo:

@@ -53,6 +53,11 @@ def cp_conv1d(x: jnp.ndarray, w: jnp.ndarray, stride: int, axis: str,
 
     Requires T_global % (cp * stride) == 0 (config.validate enforces
     clip_len % cp == 0 and the model strides divide clip lengths).
+
+    Deep layers can shrink the local shard below the halo width (one
+    ppermute only reaches immediate neighbors); there the tensor is tiny,
+    so fall back to an all-gather + local conv + slice — exact and cheap
+    precisely when it triggers.
     """
     k = w.shape[0]
     t_loc = x.shape[1]
@@ -62,6 +67,13 @@ def cp_conv1d(x: jnp.ndarray, w: jnp.ndarray, stride: int, axis: str,
     total_pad = max(k - stride, 0)
     pad_lo = total_pad // 2
     pad_hi = total_pad - pad_lo
+    if pad_lo > t_loc or pad_hi > t_loc:
+        idx = lax.axis_index(axis)
+        x_full = lax.all_gather(x, axis, axis=1, tiled=True)
+        y_full = conv1d_impl(x_full, w, stride=stride, padding="SAME",
+                             impl=impl)
+        return lax.dynamic_slice_in_dim(y_full, idx * t_out_loc, t_out_loc,
+                                        axis=1)
     x_ext = gather_halo(x, pad_lo, pad_hi, axis)
     y = conv1d_impl(x_ext, w, stride=stride, padding=(0, 0), impl=impl)
     assert y.shape[1] == t_out_loc, (y.shape, t_out_loc)
@@ -82,6 +94,23 @@ def cp_conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray, stride: int,
     t_loc = x.shape[1]
     lx = -(-pad_lo // s)                    # left halo in input samples
     rx = -(-max(k - 1 - pad_lo, 0) // s)    # right halo
+    if lx > t_loc or rx > t_loc:
+        # halo wider than the shard (deep tiny layers): all-gather fallback
+        idx = lax.axis_index(axis)
+        x_full = lax.all_gather(x, axis, axis=1, tiled=True)
+        t_full = x_full.shape[1]
+        if impl == "pallas":
+            from audiogan_tpu.kernels import conv_transpose1d as pconvt
+            y_full = pconvt(x_full, w, s, pad_lo=pad_lo, out_len=t_full * s)
+        else:
+            dl = (t_full - 1) * s + 1
+            total = t_full * s - 1 + k - dl
+            y_full = lax.conv_general_dilated(
+                x_full, w, window_strides=(1,),
+                padding=[(pad_lo, total - pad_lo)], lhs_dilation=(s,),
+                dimension_numbers=("NWC", "WIO", "NWC"))
+        return lax.dynamic_slice_in_dim(y_full, idx * t_loc * s, t_loc * s,
+                                        axis=1)
     x_ext = gather_halo(x, lx, rx, axis)
     if impl == "pallas":
         from audiogan_tpu.kernels import conv_transpose1d as pconvt

@@ -78,3 +78,22 @@ def test_cp_step_with_dp_and_shuffle_runs():
     state, hist = _run_cp(cfg, mesh)
     assert int(state.step) == 2
     assert all(np.isfinite(v) for m in hist for v in m.values())
+
+
+def test_cp_step_music_geometry():
+    """[B:11] geometry (strides 7/7/5/5/3) through the CP train step."""
+    from audiogan_tpu.config import Config, DataCfg, LossCfg, ModelCfg, TrainCfg
+    cfg = Config(
+        name="music_cp",
+        data=DataCfg(sample_rate=44100, source_rate=44100,
+                     clip_len=3675 * 4, store_len=3675 * 5),
+        model=ModelCfg(generator="wavegan", model_dim=4,
+                       strides=(7, 7, 5, 5, 3), kernel_size=25,
+                       max_channels=16, phase_shuffle=2),
+        loss=LossCfg(n_critic=2),
+        train=TrainCfg(batch_size=2),
+        mesh=MeshCfg(dp=2, cp=4),
+    ).validate()
+    mesh = _mesh(2, 4)
+    state, hist = _run_cp(cfg, mesh, steps=1)
+    assert all(np.isfinite(v) for m in hist for v in m.values())

@@ -1,26 +1,40 @@
 """Pallas 1D conv kernels (SURVEY C7/C9 native tier; replaces cuDNN conv).
 
-Kernel strategy (v5e: MXU 128x128, VPU 8x128, VMEM ~16MB/core):
+Kernel strategy v2 (v5e: MXU 128x128, VPU 8x128, VMEM ~16MB/core):
 
-* conv1d (stride s, kernel K): after SAME-padding and reshaping time into
-  [rows, s] "phase rows", output y[t] = sum_j x_rows[t + j//s, j%s] @ w[j] —
-  K shifted [T_tile, Cin_blk] x [Cin_blk, Cout_blk] MXU matmuls per tile,
-  accumulated in an f32 VMEM scratch. Grid (B, T, Cout, Cin) with the Cin
-  axis innermost, revisiting the output block to accumulate channel blocks.
+Both convs reduce to the same "row conv" shape: a stride-1 sum of Q shifted
+MXU matmuls over a 2D [rows, lanes] VMEM buffer, with Q = ceil(K/stride)
+(phase-GROUPED taps) instead of K per-tap matmuls:
 
-* conv_transpose1d (fractionally strided): polyphase decomposition — output
-  phase rho = u % s collects taps {j : (pad_lo - j) % s == rho} with input
-  row offset q_j = (rho + j - pad_lo) / s, so each tap is again one shifted
-  MXU matmul, accumulated into acc[:, rho, :]; the output is written as
-  [T_rows, s, Cout] and reshaped back outside.
+* conv1d (stride s, kernel K): pack s consecutive input samples per output
+  row — x_rows[m] = x[m*s - pad_lo : m*s - pad_lo + s] flattened with
+  channels to s*cin lanes. Then y[t] = sum_q x_rows[t+q] @ W_q with
+  W_q = w[q*s : (q+1)*s] reshaped [s*cin, cout]: Q matmuls of
+  [t_tile, s*cin_blk] x [s*cin_blk, cout_blk] per tile (K=25, s=4 -> 7
+  matmuls with 512-wide contractions, vs 25 128-wide).
 
-Both wrappers fall back to the XLA path when the shape is hostile to the
-MXU (Cin < MIN_CIN, i.e. the waveform->features first layer) — documented,
-tested, and cheap there anyway.
+* conv_transpose1d: polyphase on the OUTPUT — output row m holds all s
+  phases, y_rows[m] = sum_tau x[m + tau - q_max] @ V_tau with
+  V_tau[c, rho*cout + o] = w[pad_lo + rho + (q_max - tau)*s, c, o]: again Q
+  shifted matmuls, lanes_out = s*cout_blk, so even cout=64 layers feed the
+  MXU 256+ lanes.
+
+Layouts are plain 2D tiles ([rows, lanes], lanes a multiple of 128), so
+bf16 runs NATIVELY (sublane packing never crosses a sliced dim — the v1
+kernel's [B, R, s, C] scratch put s=4 on the sublane axis, which both
+wasted half of every 8-sublane tile and broke Mosaic's bf16 2-packing).
+The f32 accumulator lives in scratch and persists across the innermost
+cin-block grid steps; the output is written once, on the last visit.
 
 Input time-blocks overlap by the conv halo, which BlockSpec index maps
 cannot express, so x stays in ANY/HBM memory space and each grid step DMAs
-its (haloed) slice into a VMEM scratch via make_async_copy.
+its (haloed) slice into a double-buffered VMEM scratch via make_async_copy,
+started one step ahead (DMA hides behind the Q matmuls).
+
+Shapes hostile to the MXU (min(cin, cout) < MIN_CH, e.g. the waveform
+boundary layers) take the XLA path inside the same lowering — documented,
+tested, and cheap there anyway: with cout=1 the channel padding to 128
+would multiply the layer's FLOPs 128x.
 """
 
 from __future__ import annotations
@@ -30,17 +44,28 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# shapes too skinny for the MXU take the XLA path
-MIN_CIN = 8
+# layers whose thin side is below this take the XLA path
+MIN_CH = 32
 _INTERPRET = False  # flipped by tests on CPU
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def _round_up(a: int, m: int) -> int:
+    return _cdiv(a, m) * m
+
+
+def _rows_alloc(n_t: int, t_tile: int, q_taps: int) -> int:
+    """Input rows to materialize so every tile's 16-aligned haloed DMA
+    (see _rowconv_call) stays in bounds."""
+    return (n_t - 1) * t_tile + _round_up(t_tile + q_taps - 1, 16)
 
 
 def _same_pads(t_in: int, k: int, s: int) -> tuple[int, int, int]:
@@ -52,11 +77,11 @@ def _same_pads(t_in: int, k: int, s: int) -> tuple[int, int, int]:
 
 
 # ---------------------------------------------------------------------------
-# strided conv1d
+# shared row-conv kernel body: Q shifted matmuls + persistent f32 accumulator
 # ---------------------------------------------------------------------------
 
-def _conv1d_kernel(x_hbm, w_ref, o_ref, xs, sem, *, k, s, t_tile,
-                   cin_blk, rows_tile, full_ci, grid_dims):
+def _rowconv_kernel(x_hbm, w_ref, o_ref, xs, acc, sem, *, q_taps, t_tile,
+                    rows_tile, grid_dims):
     b, ti, co, ci = (pl.program_id(i) for i in range(4))
     nb, nt, nco, nci = grid_dims
     total = nb * nt * nco * nci
@@ -65,15 +90,10 @@ def _conv1d_kernel(x_hbm, w_ref, o_ref, xs, sem, *, k, s, t_tile,
 
     # Double-buffered haloed input DMA: step L starts step L+1's copy into
     # the other slot before waiting on its own, hiding HBM latency behind
-    # the K matmuls. Mosaic requires HBM slice sizes on the lane dim to be
-    # 128-aligned, so channel slicing only happens when cin_blk is a
-    # multiple of 128 (full_ci covers cin <= 128 with a full-dim copy).
+    # the Q matmuls. The lane dim is never sliced (the ci block is a full
+    # middle-dim index), so any dtype's tiling is legal.
     def make_dma(b_, ti_, ci_, slot_):
-        if full_ci:
-            src = x_hbm.at[b_, pl.ds(ti_ * t_tile, rows_tile), :, :]
-        else:
-            src = x_hbm.at[b_, pl.ds(ti_ * t_tile, rows_tile), :,
-                           pl.ds(ci_ * cin_blk, cin_blk)]
+        src = x_hbm.at[b_, ci_, pl.ds(ti_ * t_tile, rows_tile), :]
         return pltpu.make_async_copy(src, xs.at[slot_], sem.at[slot_])
 
     @pl.when(linear == 0)
@@ -92,79 +112,52 @@ def _conv1d_kernel(x_hbm, w_ref, o_ref, xs, sem, *, k, s, t_tile,
 
     make_dma(b, ti, ci, slot).wait()
 
-    def tap(j, a):
-        q, r = j // s, j % s
-        lhs = xs[slot, pl.ds(q, t_tile), r, :]        # [t_tile, cin_blk]
-        return a + jnp.dot(lhs, w_ref[j],
-                           preferred_element_type=jnp.float32)
-
-    a = jnp.zeros((t_tile, o_ref.shape[-1]), jnp.float32)
-    for j in range(k):                                 # static unroll
-        a = tap(j, a)
-
     @pl.when(ci == 0)
     def _():
-        o_ref[0] = a.astype(o_ref.dtype)
+        acc[...] = jnp.zeros_like(acc)
 
-    @pl.when(ci != 0)
+    a = acc[...]
+    for q in range(q_taps):                                # static unroll
+        a += jnp.dot(xs[slot, pl.ds(q, t_tile), :], w_ref[0, 0, q],
+                     preferred_element_type=jnp.float32)
+    acc[...] = a
+
+    @pl.when(ci == nci - 1)
     def _():
-        o_ref[0] = o_ref[0] + a.astype(o_ref.dtype)
+        o_ref[0, 0] = a.astype(o_ref.dtype)
 
 
-def _round_up(a: int, m: int) -> int:
-    return _cdiv(a, m) * m
-
-
-def _pad_channels(x, w):
-    """Pad Cin to a multiple of 128: Mosaic requires HBM memref slices to be
-    128-aligned on the lane dim, and the MXU pads lanes anyway so the extra
-    zero channels cost nothing in compute."""
-    cin = w.shape[1]
-    cin_p = _round_up(cin, 128)
-    if cin_p != cin:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, cin_p - cin)))
-        w = jnp.pad(w, ((0, 0), (0, cin_p - cin), (0, 0)))
-    return x, w
-
-
-def _conv1d_pallas(x: jnp.ndarray, w: jnp.ndarray, s: int,
-                   pad_lo: int, pad_hi: int, t_out: int) -> jnp.ndarray:
-    x, w = _pad_channels(x, w)
-    b, t_in, cin = x.shape
-    k, _, cout = w.shape
-    t_tile = min(t_out, 512)
-    n_t = _cdiv(t_out, t_tile)
-    cin_blk = min(cin, 256)                # multiples of 128 by construction
-    cout_blk = min(cout, 256)
-    n_ci, n_co = _cdiv(cin, cin_blk), _cdiv(cout, cout_blk)
-    qmax = (k - 1) // s
-    rows_tile = t_tile + qmax
-
-    # pad time so every tile's haloed DMA stays in bounds:
-    rows_needed = n_t * t_tile + qmax
-    t_pad_total = rows_needed * s
-    x_pad = jnp.pad(x, ((0, 0), (pad_lo, t_pad_total - t_in - pad_lo),
-                        (0, 0)))
-    x_rows = x_pad.reshape(b, rows_needed, s, cin)
-
+def _rowconv_call(x_rows, w_taps, *, b, n_t, t_tile, q_taps, n_ci, n_co,
+                  lanes_out, out_dtype, flops, bytes_accessed):
+    """x_rows [B, n_ci, rows, lanes_in]; w_taps [n_ci, n_co, Q, lanes_in,
+    lanes_out] -> [B, n_co, n_t*t_tile, lanes_out]."""
+    # Mosaic requires VMEM slice lengths be sublane-aligned: the DMA'd halo
+    # extent is rounded up to 16 rows (bf16 sublane packing) and x_rows
+    # carries matching tail padding (_rows_alloc below).
+    rows_tile = _round_up(t_tile + q_taps - 1, 16)
+    lanes_in = x_rows.shape[-1]
     grid = (b, n_t, n_co, n_ci)
-    out = pl.pallas_call(
-        functools.partial(_conv1d_kernel, k=k, s=s, t_tile=t_tile,
-                          cin_blk=cin_blk, rows_tile=rows_tile,
-                          full_ci=(n_ci == 1), grid_dims=grid),
+    return pl.pallas_call(
+        functools.partial(_rowconv_kernel, q_taps=q_taps, t_tile=t_tile,
+                          rows_tile=rows_tile, grid_dims=grid),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # x_rows stays in HBM
-            pl.BlockSpec((k, cin_blk, cout_blk),
-                         lambda b_, t_, co_, ci_: (0, ci_, co_),
+            pl.BlockSpec(memory_space=pl.ANY),       # x_rows stays in HBM
+            # block dims (n_ci, n_co) lead so the trailing two dims are the
+            # full (lanes_in, lanes_out) tile (Mosaic requires the last two
+            # block dims be full or (8,128)-divisible)
+            pl.BlockSpec((1, 1, q_taps, lanes_in, lanes_out),
+                         lambda b_, t_, co_, ci_: (ci_, co_, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t_tile, cout_blk),
-                               lambda b_, t_, co_, ci_: (b_, t_, co_),
+        out_specs=pl.BlockSpec((1, 1, t_tile, lanes_out),
+                               lambda b_, t_, co_, ci_: (b_, co_, t_, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_t * t_tile, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_co, n_t * t_tile, lanes_out),
+                                       out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, rows_tile, s, cin_blk), x.dtype),  # double buffer
+            pltpu.VMEM((2, rows_tile, lanes_in), x_rows.dtype),  # dbl buffer
+            pltpu.VMEM((t_tile, lanes_out), jnp.float32),        # accumulator
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -172,126 +165,116 @@ def _conv1d_pallas(x: jnp.ndarray, w: jnp.ndarray, s: int,
                                  "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * t_out * k * cin * cout,
-            bytes_accessed=(b * t_pad_total * cin + k * cin * cout
-                            + b * t_out * cout) * 4,
-            transcendentals=0),
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=_INTERPRET,
-    )(x_rows, w)
-    return out[:, :t_out, :]
+    )(x_rows, w_taps)
 
 
 # ---------------------------------------------------------------------------
-# conv_transpose1d (fractionally-strided conv, polyphase kernel)
+# strided conv1d
 # ---------------------------------------------------------------------------
 
-def _convt_kernel(x_hbm, w_ref, o_ref, xs, acc, sem, *, k, s, pad_lo,
-                  t_tile, cin_blk, rows_tile, qneg, full_ci, grid_dims):
-    b, ti, co, ci = (pl.program_id(i) for i in range(4))
-    nb, nt, nco, nci = grid_dims
-    total = nb * nt * nco * nci
-    linear = ((b * nt + ti) * nco + co) * nci + ci
-    slot = linear % 2
+def _conv1d_pallas(x: jnp.ndarray, w: jnp.ndarray, s: int,
+                   pad_lo: int, pad_hi: int, t_out: int) -> jnp.ndarray:
+    b, t_in, cin = x.shape
+    k, _, cout = w.shape
+    cin_p, cout_p = _round_up(cin, 128), _round_up(cout, 128)
+    q_taps = _cdiv(k, s)
+    cin_blk = min(cin_p, 256)
+    cout_blk = min(cout_p, 256)
+    n_ci, n_co = cin_p // cin_blk, cout_p // cout_blk
+    t_tile = min(_round_up(t_out, 16), 512)
+    n_t = _cdiv(t_out, t_tile)
 
-    # x_hbm is [B, R, 1, C]: rows land on an untiled dim so arbitrary row
-    # slices are legal; channel slices only when 128-aligned (see conv1d).
-    # Double-buffered DMA as in _conv1d_kernel.
-    def make_dma(b_, ti_, ci_, slot_):
-        if full_ci:
-            src = x_hbm.at[b_, pl.ds(ti_ * t_tile, rows_tile), :, :]
-        else:
-            src = x_hbm.at[b_, pl.ds(ti_ * t_tile, rows_tile), :,
-                           pl.ds(ci_ * cin_blk, cin_blk)]
-        return pltpu.make_async_copy(src, xs.at[slot_], sem.at[slot_])
+    # x rows: row m = x_sh[m*s : m*s + s] (s samples x cin channels), where
+    # x_sh is x with pad_lo zeros in front; lanes ordered (ci-block, s, c).
+    rows_needed = _rows_alloc(n_t, t_tile, q_taps)
+    pad_back = rows_needed * s - pad_lo - t_in
+    x_sh = jnp.pad(x, ((0, 0), (pad_lo, pad_back), (0, cin_p - cin)))
+    xr = x_sh.reshape(b, rows_needed, s, n_ci, cin_blk)
+    xr = xr.transpose(0, 3, 1, 2, 4)                # free when n_ci == 1
+    x_rows = xr.reshape(b, n_ci, rows_needed, s * cin_blk)
 
-    @pl.when(linear == 0)
-    def _():
-        make_dma(b, ti, ci, slot).start()
+    # weights: W_q = w[q*s : (q+1)*s] with rows ordered (ci-block, s, c),
+    # laid out [n_ci, n_co, Q, lanes_in, lanes_out] (block dims lead)
+    wp = jnp.pad(w, ((0, q_taps * s - k), (0, cin_p - cin),
+                     (0, cout_p - cout)))
+    wt = wp.reshape(q_taps, s, n_ci, cin_blk, n_co, cout_blk)
+    wt = wt.transpose(2, 4, 0, 1, 3, 5)
+    w_taps = wt.reshape(n_ci, n_co, q_taps, s * cin_blk, cout_blk)
 
-    nxt = linear + 1
+    out = _rowconv_call(
+        x_rows, w_taps, b=b, n_t=n_t, t_tile=t_tile, q_taps=q_taps,
+        n_ci=n_ci, n_co=n_co, lanes_out=cout_blk, out_dtype=x.dtype,
+        flops=2 * b * t_out * k * cin * cout,
+        bytes_accessed=(b * rows_needed * s * cin_p * n_ci
+                        + q_taps * s * cin_p * cout_p
+                        + b * t_out * cout_p) * x.dtype.itemsize)
+    out = out.transpose(0, 2, 1, 3)                 # free when n_co == 1
+    out = out.reshape(b, n_t * t_tile, n_co * cout_blk)
+    return out[:, :t_out, :cout]
 
-    @pl.when(nxt < total)
-    def _():
-        ci_n = nxt % nci
-        rest = nxt // nci
-        ti_n = (rest // nco) % nt
-        b_n = rest // (nco * nt)
-        make_dma(b_n, ti_n, ci_n, nxt % 2).start()
 
-    make_dma(b, ti, ci, slot).wait()
-
-    acc[...] = jnp.zeros_like(acc)
-    for j in range(k):                                  # static unroll
-        rho = (pad_lo - j) % s
-        q = (rho + j - pad_lo) // s
-        lhs = xs[slot, pl.ds(q + qneg, t_tile), 0, :]   # [t_tile, cin_blk]
-        acc[:, rho, :] += jnp.dot(lhs, w_ref[j],
-                                  preferred_element_type=jnp.float32)
-
-    @pl.when(ci == 0)
-    def _():
-        o_ref[0] = acc[...].astype(o_ref.dtype)
-
-    @pl.when(ci != 0)
-    def _():
-        o_ref[0] = o_ref[0] + acc[...].astype(o_ref.dtype)
-
+# ---------------------------------------------------------------------------
+# conv_transpose1d (fractionally-strided conv, output-polyphase kernel)
+# ---------------------------------------------------------------------------
 
 def _convt_pallas(x, w, s, pad_lo, out_len):
-    x, w = _pad_channels(x, w)
     b, t_in, cin = x.shape
     k, _, cout = w.shape
     assert out_len % s == 0, "conv_transpose output must be stride-aligned"
     m_out = out_len // s                                # output phase-rows
-    t_tile = min(m_out, 512)
+    cin_p, cout_p = _round_up(cin, 128), _round_up(cout, 128)
+    cin_blk = min(cin_p, 256)
+    cout_blk = min(cout_p, max(1024 // s // 128, 1) * 128)
+    n_ci, n_co = cin_p // cin_blk, cout_p // cout_blk
+    lanes_out = s * cout_blk
+    t_tile = min(_round_up(m_out, 16), 512)
     n_t = _cdiv(m_out, t_tile)
-    cin_blk = min(cin, 256)                # multiples of 128 by construction
-    cout_blk = min(cout, 256)
-    n_ci, n_co = _cdiv(cin, cin_blk), _cdiv(cout, cout_blk)
-    qneg = _cdiv(pad_lo, s)                             # front halo rows
-    qpos = _cdiv(max(k - 1 - pad_lo, 0), s)
-    rows_tile = t_tile + qneg + qpos
 
-    rows_needed = n_t * t_tile + qneg + qpos
-    x_pad = jnp.pad(x, ((0, 0), (qneg, rows_needed - t_in - qneg), (0, 0)))
-    x_pad = x_pad[:, :, None, :]                        # [B, R, 1, C]
+    # y[m, rho] = sum_q x[m + q] w[pad_lo - rho + q*s]  (cross-correlation
+    # with the input-dilated signal, phases split on the output). With
+    # q in [q_min, q_max] and tau = q - q_min:
+    #   y_rows[m] = sum_tau x_pad[m + tau] @ V_tau,
+    # where x_pad has -q_min zeros in front.
+    q_min = -(pad_lo // s)
+    q_max = (k + s - 2 - pad_lo) // s
+    q_taps = q_max - q_min + 1
 
-    grid = (b, n_t, n_co, n_ci)
-    out = pl.pallas_call(
-        functools.partial(_convt_kernel, k=k, s=s, pad_lo=pad_lo,
-                          t_tile=t_tile, cin_blk=cin_blk,
-                          rows_tile=rows_tile, qneg=qneg,
-                          full_ci=(n_ci == 1), grid_dims=grid),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((k, cin_blk, cout_blk),
-                         lambda b_, t_, co_, ci_: (0, ci_, co_),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, t_tile, s, cout_blk),
-                               lambda b_, t_, co_, ci_: (b_, t_, 0, co_),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_t * t_tile, s, cout), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, rows_tile, 1, cin_blk), x.dtype),  # double buffer
-            pltpu.VMEM((t_tile, s, cout_blk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * m_out * k * cin * cout,
-            bytes_accessed=(b * t_in * cin + k * cin * cout
-                            + b * out_len * cout) * 4,
-            transcendentals=0),
-        interpret=_INTERPRET,
-    )(x_pad, w)
-    out = out.reshape(b, n_t * t_tile * s, cout)
-    return out[:, :out_len, :]
+    rows_needed = _rows_alloc(n_t, t_tile, q_taps)
+    pad_back = rows_needed + q_min - t_in
+    if pad_back < 0:
+        # trailing input rows the first out_len outputs never read
+        x, t_in, pad_back = x[:, :t_in + pad_back], t_in + pad_back, 0
+    x_pad = jnp.pad(x, ((0, 0), (-q_min, pad_back), (0, cin_p - cin)))
+    xr = x_pad.reshape(b, rows_needed, n_ci, cin_blk)
+    x_rows = xr.transpose(0, 2, 1, 3)               # free when n_ci == 1
 
+    # V_tau[c, rho*cout + o] = w[pad_lo - rho + (q_min + tau)*s, c, o]
+    # (zero where the tap index leaves [0, k)); static gather at trace time.
+    tau = np.arange(q_taps)[:, None]
+    rho = np.arange(s)[None, :]
+    j_idx = pad_lo - rho + (q_min + tau) * s            # [Q, s]
+    valid = (j_idx >= 0) & (j_idx < k)
+    wp = jnp.pad(w, ((0, 0), (0, cin_p - cin), (0, cout_p - cout)))
+    v = wp[np.clip(j_idx, 0, k - 1)]                    # [Q, s, cin_p, cout_p]
+    v = jnp.where(jnp.asarray(valid)[:, :, None, None], v, 0)
+    v = v.transpose(0, 2, 1, 3)                         # [Q, cin_p, s, cout_p]
+    v = v.reshape(q_taps, n_ci, cin_blk, s, n_co, cout_blk)
+    # lay out [n_ci, n_co, Q, cin_blk, s*cout_blk] (block dims lead)
+    v = v.transpose(1, 4, 0, 2, 3, 5)
+    w_taps = v.reshape(n_ci, n_co, q_taps, cin_blk, lanes_out)
+
+    out = _rowconv_call(
+        x_rows, w_taps, b=b, n_t=n_t, t_tile=t_tile, q_taps=q_taps,
+        n_ci=n_ci, n_co=n_co, lanes_out=lanes_out, out_dtype=x.dtype,
+        flops=2 * b * m_out * k * cin * cout,
+        bytes_accessed=(b * rows_needed * cin_p + q_taps * s * cin_p * cout_p
+                        + b * out_len * cout_p) * x.dtype.itemsize)
+    out = out.reshape(b, n_co, n_t * t_tile, s, cout_blk)
+    out = out.transpose(0, 2, 3, 1, 4)                  # free when n_co == 1
+    out = out.reshape(b, n_t * t_tile * s, n_co * cout_blk)
+    return out[:, :out_len, :cout]
 
 
 # ---------------------------------------------------------------------------
@@ -300,28 +283,20 @@ def _convt_pallas(x, w, s, pad_lo, out_len):
 
 def conv1d_lowered(x, w, stride, pad_lo, pad_hi):
     """Lowering body for the audiogan_conv1d primitive (pallas or XLA)."""
-    cin = w.shape[1]
-    t_in, k = x.shape[1], w.shape[0]
+    k, cin, cout = w.shape
+    t_in = x.shape[1]
     t_out = (t_in + pad_lo + pad_hi - k) // stride + 1
-    if cin < MIN_CIN:
+    if min(cin, cout) < MIN_CH:
         return lax.conv_general_dilated(
             x, w, window_strides=(stride,), padding=[(pad_lo, pad_hi)],
             dimension_numbers=("NWC", "WIO", "NWC"))
-    if x.dtype != jnp.float32:
-        # sub-f32 dtypes change Mosaic's sublane tiling (2 packed values per
-        # word for bf16), which breaks the [B,R,s,C] slicing layout; the
-        # kernel accumulates in f32 anyway, so compute in f32 and cast back.
-        y = _conv1d_pallas(x.astype(jnp.float32), w.astype(jnp.float32),
-                           stride, pad_lo, pad_hi, t_out)
-        return y.astype(x.dtype)
     return _conv1d_pallas(x, w, stride, pad_lo, pad_hi, t_out)
 
 
 def convt1d_lowered(x, w, stride, pad_lo, out_len):
     """Lowering body for the audiogan_convt1d primitive (pallas or XLA)."""
-    cin = w.shape[1]
-    if cin < MIN_CIN or out_len % stride != 0:
-        k = w.shape[0]
+    k, cin, cout = w.shape
+    if min(cin, cout) < MIN_CH or out_len % stride != 0:
         t = x.shape[1]
         dilated_len = (t - 1) * stride + 1
         total_pad = out_len - 1 + k - dilated_len
@@ -330,10 +305,6 @@ def convt1d_lowered(x, w, stride, pad_lo, out_len):
             padding=[(pad_lo, total_pad - pad_lo)],
             lhs_dilation=(stride,),
             dimension_numbers=("NWC", "WIO", "NWC"))
-    if x.dtype != jnp.float32:
-        y = _convt_pallas(x.astype(jnp.float32), w.astype(jnp.float32),
-                          stride, pad_lo, out_len)
-        return y.astype(x.dtype)
     return _convt_pallas(x, w, stride, pad_lo, out_len)
 
 

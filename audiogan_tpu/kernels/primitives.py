@@ -114,19 +114,24 @@ def _conv1d_transpose_x(ct, x, w, *, stride, pad_lo, pad_hi):
 
 
 def _conv1d_transpose_w(ct, x, w, *, stride, pad_lo, pad_hi):
-    k = w.aval.shape[0]
-    t_in = x.shape[1]
+    # Phase-grouped: dW_q[(r,c), o] = sum_{b,t} x_rows[b, t+q, (r,c)] ct[b,t,o]
+    # with x_rows[m] = x_sh[m*s : (m+1)*s] flattened — Q = ceil(K/s) einsums
+    # with s*cin-wide contractions instead of K strided cin-wide ones
+    # (mirrors the forward kernel's tap grouping, kernels/conv.py).
+    k, cin, cout = w.aval.shape
+    s = stride
+    b, t_in, _ = x.shape
     t_out = ct.shape[1]
-    pad_total = (t_out - 1) * stride + k
-    x_pad = jnp.pad(x, ((0, 0), (pad_lo, max(pad_total - t_in - pad_lo, 0)),
-                        (0, 0)))
-    dws = []
-    for j in range(k):
-        xs = lax.slice_in_dim(x_pad, j, j + (t_out - 1) * stride + 1,
-                              stride=stride, axis=1)
-        dws.append(jnp.einsum("btc,bto->co", xs, ct,
-                              preferred_element_type=jnp.float32))
-    return jnp.stack(dws).astype(w.aval.dtype)
+    q_taps = -(-k // s)
+    rows = t_out + q_taps - 1
+    x_sh = jnp.pad(x, ((0, 0), (pad_lo, rows * s - pad_lo - t_in), (0, 0)))
+    x_rows = x_sh.reshape(b, rows, s * cin)
+    dwq = [jnp.einsum("btl,bto->lo",
+                      lax.slice_in_dim(x_rows, q, q + t_out, axis=1), ct,
+                      preferred_element_type=jnp.float32)
+           for q in range(q_taps)]
+    dw = jnp.stack(dwq).reshape(q_taps * s, cin, cout)[:k]
+    return dw.astype(w.aval.dtype)
 
 
 def _convt1d_transpose_x(ct, x, w, *, stride, pad_lo, out_len):
@@ -141,20 +146,32 @@ def _convt1d_transpose_x(ct, x, w, *, stride, pad_lo, out_len):
 def _convt1d_transpose_w(ct, x, w, *, stride, pad_lo, out_len):
     k, cin, cout = w.aval.shape
     s = stride
-    t_in = x.shape[1]
+    b, t_in, _ = x.shape
     if out_len % s == 0:
+        # Phase-grouped to match the forward kernel's output polyphase
+        # (kernels/conv.py _convt_pallas): for tap j = pad_lo - rho + q*s,
+        # dV_tau[c, (rho,o)] = sum_{b,m} x_pad[b, m+tau, c] ct_rows[b, m],
+        # tau = q - q_min — Q einsums with s*cout-wide outputs.
+        import numpy as np
         m_out = out_len // s
-        qneg = -(-pad_lo // s)
-        x_rows = jnp.pad(x, ((0, 0), (qneg, qneg + -(-k // s)), (0, 0)))
-        ct_r = ct.reshape(ct.shape[0], m_out, s, cout)
-        dws = []
-        for j in range(k):
-            rho = (pad_lo - j) % s
-            q = (rho + j - pad_lo) // s
-            xs = lax.slice_in_dim(x_rows, q + qneg, q + qneg + m_out, axis=1)
-            dws.append(jnp.einsum("btc,bto->co", xs, ct_r[:, :, rho, :],
-                                  preferred_element_type=jnp.float32))
-        return jnp.stack(dws).astype(w.aval.dtype)
+        q_min = -(pad_lo // s)
+        q_max = (k + s - 2 - pad_lo) // s
+        q_taps = q_max - q_min + 1
+        rows = m_out + q_taps - 1
+        pad_back = rows + q_min - t_in
+        if pad_back < 0:
+            x, t_in, pad_back = x[:, :t_in + pad_back], t_in + pad_back, 0
+        x_pad = jnp.pad(x, ((0, 0), (-q_min, pad_back), (0, 0)))
+        ct_rows = ct.reshape(b, m_out, s * cout)
+        dvq = [jnp.einsum("btc,btl->cl",
+                          lax.slice_in_dim(x_pad, tau, tau + m_out, axis=1),
+                          ct_rows, preferred_element_type=jnp.float32)
+               for tau in range(q_taps)]
+        dv = jnp.stack(dvq).reshape(q_taps, cin, s, cout)
+        j = np.arange(k)
+        rho_j = (pad_lo - j) % s
+        tau_j = (j - pad_lo + rho_j) // s - q_min
+        return dv[tau_j, :, rho_j, :].astype(w.aval.dtype)
     # rare non-aligned path: explicit input dilation
     xd = jnp.zeros((x.shape[0], (t_in - 1) * s + 1, cin),
                    x.dtype).at[:, ::s].set(x)

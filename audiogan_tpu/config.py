@@ -144,15 +144,28 @@ class Config:
         if d.clip_len % self.mesh.cp != 0:
             raise ValueError("clip_len must be divisible by mesh.cp")
         if self.mesh.cp > 1:
-            if m.generator != "wavegan" or m.use_stft_critic:
-                raise ValueError("cp>1 training supports wavegan G + conv "
-                                 "critic (train/cp_step.py)")
+            if m.use_stft_critic:
+                _, hop, _ = m.stft_resolutions[0]
+                frames = d.clip_len // hop
+                # 4 = STFTCritic n_layers (stride-2 frame downsampling)
+                if (d.clip_len % (self.mesh.cp * hop)
+                        or frames % (self.mesh.cp * 2 ** 4)):
+                    raise ValueError(
+                        f"cp dual-STFT needs hop-aligned shards and a frame "
+                        f"axis divisible by cp*16: clip_len={d.clip_len}, "
+                        f"hop={hop}, cp={self.mesh.cp}")
             if self.mesh.fsdp:
                 raise ValueError("cp>1 with fsdp is not supported yet")
-            base = d.clip_len // m.total_stride
-            if base % self.mesh.cp != 0:
-                raise ValueError(f"generator base length {base} must be "
-                                 f"divisible by cp={self.mesh.cp}")
+            if m.generator == "wavegan":
+                base = d.clip_len // m.total_stride
+                if base % self.mesh.cp != 0:
+                    raise ValueError(f"generator base length {base} must be "
+                                     f"divisible by cp={self.mesh.cp}")
+            elif m.generator == "gru":
+                n_frames = d.clip_len // m.gru_frame_size
+                if n_frames % self.mesh.cp != 0:
+                    raise ValueError(f"gru frame count {n_frames} must be "
+                                     f"divisible by cp={self.mesh.cp}")
         return self
 
     def to_json(self) -> str:

@@ -101,7 +101,9 @@ class GRUGenerator(nn.Module):
                 feat = jnp.tanh(h @ w_out_ + b_out_)
                 return (h, feat), feat
 
-            f0 = jnp.zeros((b, feat_dim), dt)
+            # zeros_like keeps cond_proj's vma type so the scan carry stays
+            # uniform when this module runs inside a vma-checked shard_map
+            f0 = jnp.zeros_like(cond_proj)
             (_, _), feats = jax.lax.scan(step, (h0, f0), None,
                                          length=n_frames)
             feats = jnp.transpose(feats, (1, 0, 2))      # [B, n_frames, F]

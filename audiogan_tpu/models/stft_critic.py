@@ -35,8 +35,16 @@ class STFTCritic(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, labels: jnp.ndarray | None = None,
                  train: bool = True) -> jnp.ndarray:
-        """x [B, T, 1] -> scores [B]."""
-        mag = stft_magnitude(x[..., 0], self.n_fft, self.hop, self.win_len)
+        """x [B, T, 1] -> scores [B].
+
+        Frame grid: one frame per hop with a zero tail (pad_tail=True), so
+        the frame axis is T/hop exactly — a SPEC decision (no reference
+        code exists to match) chosen so the spectrogram shards cleanly over
+        the context-parallel time axis (parallel.cp_models
+        .cp_stft_critic_forward) while staying identical unsharded.
+        """
+        mag = stft_magnitude(x[..., 0], self.n_fft, self.hop, self.win_len,
+                             pad_tail=True)
         h = jnp.log1p(mag)[..., None].astype(self.dtype)  # [B, frames, bins, 1]
         for i in range(self.n_layers):
             c = min(self.model_dim * 2 ** i, 512)

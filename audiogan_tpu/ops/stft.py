@@ -18,6 +18,16 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=None)
+def _dft_basis(n_fft: int, win_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real/imag rfft basis, rows truncated to win_len: [win_len, bins]."""
+    n = np.arange(win_len)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return (np.cos(ang).astype(np.float32),
+            (-np.sin(ang)).astype(np.float32))
+
+
+@functools.lru_cache(maxsize=None)
 def _hann(win_len: int) -> np.ndarray:
     # periodic Hann, matches torch.hann_window(win_len, periodic=True)
     n = np.arange(win_len)
@@ -45,19 +55,40 @@ def stft_magnitude(
     hop: int,
     win_len: int | None = None,
     eps: float = 1e-7,
+    pad_tail: bool = False,
 ) -> jnp.ndarray:
     """|STFT| of [..., T] -> [..., n_frames, n_fft//2 + 1], float32.
 
     Hann window, center=False, zero-padded to n_fft when win_len < n_fft.
     eps floors the magnitude so sqrt's gradient is finite at 0 — this op sits
     inside losses/critics on the WGAN-GP double-backprop path.
+
+    pad_tail=True appends (win_len - hop) zeros so a frame starts at EVERY
+    hop: n_frames = T/hop exactly (requires T % hop == 0). This is the
+    shard-friendly grid the STFT critic uses — the frame axis is uniform
+    over context-parallel time shards, and the zeros a tail frame reads are
+    exactly what a non-cyclic halo exchange delivers at the global edge
+    (SURVEY §5 STFT clause; SPEC.md). Default False keeps the
+    tail-dropping convention of the multi-res loss.
     """
     if win_len is None:
         win_len = n_fft
+    if pad_tail:
+        if x.shape[-1] % hop:
+            raise ValueError("pad_tail needs T divisible by hop")
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, win_len - hop)]
+        x = jnp.pad(x, pad)
     frames = frame_signal(x, win_len, hop) * jnp.asarray(_hann(win_len))
-    if win_len < n_fft:
-        pad = [(0, 0)] * (frames.ndim - 1) + [(0, n_fft - win_len)]
-        frames = jnp.pad(frames, pad)
-    spec = jnp.fft.rfft(frames.astype(jnp.float32), n=n_fft, axis=-1)
-    power = jnp.square(jnp.real(spec)) + jnp.square(jnp.imag(spec))
+    # rfft as two real MXU matmuls against a precomputed DFT basis, instead
+    # of XLA's FFT: (a) for n_fft <= ~1k the 128x128 systolic array runs the
+    # dense DFT faster than TPU FFT lowering; (b) it is transparent to
+    # every jax transform — jnp.fft.rfft's abstract eval drops shard_map
+    # vma annotations under grad-of-grad (the GP double-backprop path),
+    # which a plain dot never can. Basis rows stop at win_len: the
+    # zero-padding to n_fft contributes nothing.
+    cos_b, sin_b = _dft_basis(n_fft, win_len)
+    frames = frames.astype(jnp.float32)
+    re = frames @ jnp.asarray(cos_b)
+    im = frames @ jnp.asarray(sin_b)
+    power = jnp.square(re) + jnp.square(im)
     return jnp.sqrt(power + eps)

@@ -31,9 +31,29 @@ def cp_discriminator_forward(
     shuffle_key: jax.Array | None = None,
     labels: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Time-sharded critic score [B] (== WaveGANDiscriminator.apply)."""
-    m = cfg.model
+    """Time-sharded critic score [B] (== the unsharded discriminator built
+    by models.factory: WaveGANDiscriminator, or DualDiscriminator when
+    cfg.model.use_stft_critic)."""
     p = params["params"]
+    if cfg.model.use_stft_critic:
+        wave = _wave_critic_score(p["wave_critic"], x_local, cfg, axis,
+                                  shuffle_key, labels)
+        stft = _stft_critic_score(p["stft_critic"], x_local, cfg, axis,
+                                  labels)
+        return wave + stft
+    return _wave_critic_score(p, x_local, cfg, axis, shuffle_key, labels)
+
+
+def _wave_critic_score(
+    p,
+    x_local: jnp.ndarray,
+    cfg: Config,
+    axis: str,
+    shuffle_key: jax.Array | None = None,
+    labels: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Time-sharded WaveGANDiscriminator score from its param subtree."""
+    m = cfg.model
     n_layers = len(m.strides)
     idx = lax.axis_index(axis)
     n_cp = lax.axis_size(axis)
@@ -64,6 +84,62 @@ def cp_discriminator_forward(
         assert labels is not None
         emb = p["proj_embed"]["embedding"][labels]       # [B, C]
         pooled = lax.psum(jnp.sum(h, axis=1), axis) / (n_cp * t_loc)
+        score = score + jnp.sum(pooled * emb, axis=-1)
+    return score
+
+
+def _stft_critic_score(
+    p,
+    x_local: jnp.ndarray,
+    cfg: Config,
+    axis: str,
+    labels: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Time-sharded STFTCritic score from its param subtree.
+
+    Per SURVEY §5's STFT clause: with hop-aligned shard boundaries, each
+    shard's frames are local given one right halo of (win - hop) samples —
+    and the zeros a non-cyclic ppermute delivers at the global edge are
+    exactly the critic's pad_tail convention (models/stft_critic.py), so
+    sharded == unsharded. The 2D conv stack shards only the frame axis
+    (cp_conv2d_frames halos); the head psums once.
+    """
+    from audiogan_tpu.ops.stft import stft_magnitude
+    from audiogan_tpu.parallel.halo import cp_conv2d_frames, gather_halo
+
+    n_fft, hop, win = cfg.model.stft_resolutions[0]
+    idx = lax.axis_index(axis)
+    n_cp = lax.axis_size(axis)
+    t_loc = x_local.shape[1]
+    assert t_loc % hop == 0, "shard boundaries must be hop-aligned"
+
+    x_ext = gather_halo(x_local, 0, win - hop, axis)
+    mag = stft_magnitude(x_ext[..., 0], n_fft, hop, win)  # [B, T_loc/hop, F]
+    h = jnp.log1p(mag)[..., None]
+
+    n_layers = 0
+    while f"conv2d_{n_layers}" in p:
+        n_layers += 1
+    for i in range(n_layers):
+        w = p[f"conv2d_{i}"]["kernel"]
+        b = p[f"conv2d_{i}"]["bias"]
+        h = cp_conv2d_frames(h, w, (2, 2), axis) + b
+        h = jax.nn.leaky_relu(h, 0.2)
+
+    bsz, f_loc, bins, c = h.shape
+    w_head = p["head"]["kernel"]          # [F_glob * bins * c, 1]
+    b_head = p["head"]["bias"]
+    w_rows = w_head.reshape(n_cp * f_loc, bins * c, -1)
+    w_local = lax.dynamic_slice_in_dim(w_rows, idx * f_loc, f_loc, axis=0)
+    score = jnp.einsum("btc,tco->bo", h.reshape(bsz, f_loc, bins * c),
+                       w_local)[:, 0]
+    score = lax.psum(score, axis) + b_head[0]
+
+    if cfg.data.num_classes:
+        assert labels is not None
+        emb = p["proj_embed"]["embedding"][labels]
+        pooled = lax.psum(jnp.sum(h, axis=(1, 2)), axis) / (
+            n_cp * f_loc * bins)
         score = score + jnp.sum(pooled * emb, axis=-1)
     return score
 
@@ -113,4 +189,68 @@ def cp_generator_forward(
         b = p[f"convt_{i}_bias"]
         h = cp_conv_transpose1d(h, w, stride=s, axis=axis) + b
         h = jax.nn.relu(h) if i < n_layers - 1 else jnp.tanh(h)
+    return h
+
+
+def cp_gru_generator_forward(
+    params,
+    z: jnp.ndarray,
+    cfg: Config,
+    axis: str = "cp",
+    labels: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Time-sharded GRU generator: returns THIS shard's waveform slice
+    [B, clip_len/cp, 1] (== the matching slice of models.gru.GRUGenerator;
+    pinned by tests/parallel/test_cp_gru.py).
+
+    The frame-level recurrence stays EXACT across shards: the
+    (hidden, prev_feat) carry — including the autoregressive frame
+    conditioning — crosses shard boundaries through cp_chunked_scan's
+    ppermute handoff (SURVEY §2.3 "GRU handled by frame-level chunked scan
+    with state handoff via ppermute"), while the conv-transpose upsample
+    stack — where the FLOPs and activation memory are — runs fully
+    time-sharded with halo exchange. Requires n_frames % cp == 0.
+    """
+    from audiogan_tpu.models.gru import factorize_stride
+    from audiogan_tpu.ops.gru import gru_cell
+    from audiogan_tpu.parallel.halo import cp_chunked_scan, cp_conv_transpose1d
+
+    m = cfg.model
+    p = params["params"]
+    n_cp = lax.axis_size(axis)
+    n_frames = cfg.data.clip_len // m.gru_frame_size
+    assert n_frames % n_cp == 0, "n_frames must divide over cp"
+    f_loc = n_frames // n_cp
+
+    cond = z
+    if cfg.data.num_classes:
+        assert labels is not None
+        emb = p["label_embed"]["embedding"][labels]
+        cond = jnp.concatenate([cond, emb], axis=-1)
+    h0 = jnp.tanh(cond @ p["init_state"]["kernel"]
+                  + p["init_state"]["bias"])
+    cond_proj = cond @ p["cond_proj"]["kernel"] + p["cond_proj"]["bias"]
+    w_i, w_h = p["gru_w_i"], p["gru_w_h"]
+    b_i, b_h = p["gru_b_i"], p["gru_b_h"]
+    w_ar, w_out, b_out = p["ar_proj"], p["frame_out"], p["frame_out_bias"]
+
+    def step(carry, _):
+        h, prev = carry
+        x = jnp.concatenate([prev @ w_ar, cond_proj], axis=-1)
+        h = gru_cell(x, h, w_i, w_h, b_i, b_h)
+        feat = jnp.tanh(h @ w_out + b_out)
+        return (h, feat), feat
+
+    # zeros_like keeps cond_proj's vma type: under a ('data','cp') mesh the
+    # carry must be uniformly data-varying or lax.scan rejects the carry
+    f0 = jnp.zeros_like(cond_proj)
+    feats = cp_chunked_scan(step, (h0, f0), f_loc, axis)  # [F_loc, B, F]
+    h = jnp.transpose(feats, (1, 0, 2))
+
+    strides = factorize_stride(m.gru_frame_size)
+    for i, s in enumerate(strides):
+        w = p[f"up_{i}_kernel"]
+        bb = p[f"up_{i}_bias"]
+        h = cp_conv_transpose1d(h, w, stride=s, axis=axis) + bb
+        h = jax.nn.relu(h) if i < len(strides) - 1 else jnp.tanh(h)
     return h

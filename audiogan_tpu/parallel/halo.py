@@ -37,13 +37,14 @@ def _shift_from_right(x_edge: jnp.ndarray, axis: str) -> jnp.ndarray:
 
 def gather_halo(x: jnp.ndarray, left: int, right: int, axis: str
                 ) -> jnp.ndarray:
-    """Extend the local time shard with `left`/`right` neighbor samples."""
+    """Extend the local shard along dim 1 with `left`/`right` neighbor
+    slabs (any rank; dim 1 is the sharded time/frame axis)."""
     parts = []
     if left > 0:
-        parts.append(_shift_from_left(x[:, -left:, :], axis))
+        parts.append(_shift_from_left(x[:, -left:], axis))
     parts.append(x)
     if right > 0:
-        parts.append(_shift_from_right(x[:, :right, :], axis))
+        parts.append(_shift_from_right(x[:, :right], axis))
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else x
 
 
@@ -125,6 +126,81 @@ def cp_conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray, stride: int,
             x_ext, w, window_strides=(1,), padding=[(pad_lo, total - pad_lo)],
             lhs_dilation=(s,), dimension_numbers=("NWC", "WIO", "NWC"))
     return lax.slice_in_dim(y_ext, lx * s, lx * s + t_loc * s, axis=1)
+
+
+def cp_conv2d_frames(h: jnp.ndarray, w: jnp.ndarray, strides: tuple[int, int],
+                     axis: str) -> jnp.ndarray:
+    """SAME 2D conv on [B, F_loc, bins, C] with only the FRAME axis (dim 1)
+    sharded over `axis` (the STFT critic's spectrogram under CP, SURVEY §5).
+
+    Frame axis: halo exchange + local VALID conv, exactly like cp_conv1d
+    (non-cyclic ppermute zeros == global SAME zero padding); requires
+    F_global % (cp * stride_f) == 0. Bins axis: replicated, plain SAME.
+    Falls back to all-gather when the shard is narrower than the halo.
+    """
+    kf, kb = w.shape[0], w.shape[1]
+    sf, sb = strides
+    f_loc = h.shape[1]
+    assert f_loc % sf == 0, "local frame shard must be stride-aligned"
+    total_f = max(kf - sf, 0)
+    lo_f, hi_f = total_f // 2, total_f - total_f // 2
+    out_b = -(-h.shape[2] // sb)
+    total_b = max((out_b - 1) * sb + kb - h.shape[2], 0)
+    pad_b = (total_b // 2, total_b - total_b // 2)
+    dn = ("NHWC", "HWIO", "NHWC")
+    if lo_f > f_loc or hi_f > f_loc:
+        idx = lax.axis_index(axis)
+        h_full = lax.all_gather(h, axis, axis=1, tiled=True)
+        y = lax.conv_general_dilated(h_full, w, (sf, sb),
+                                     padding=[(lo_f, hi_f), pad_b],
+                                     dimension_numbers=dn)
+        return lax.dynamic_slice_in_dim(y, idx * (f_loc // sf), f_loc // sf,
+                                        axis=1)
+    h_ext = gather_halo(h, lo_f, hi_f, axis)
+    y = lax.conv_general_dilated(h_ext, w, (sf, sb),
+                                 padding=[(0, 0), pad_b],
+                                 dimension_numbers=dn)
+    assert y.shape[1] == f_loc // sf, (y.shape, f_loc, sf)
+    return y
+
+
+def cp_chunked_scan(step_fn, carry0, length_local: int, axis: str):
+    """Sequential scan whose time axis is sharded over `axis` (SURVEY §2.3
+    CP row: "frame-level chunked scan with state handoff via ppermute").
+
+    Stage j of n_cp: every shard runs its local `length_local`-step scan;
+    only shard j's results are real — the carry that arrived there was
+    handed from shard j-1 by the previous stage's non-cyclic `ppermute`.
+    Other shards compute discarded values on otherwise-idle cores, so wall
+    time is the recurrence's intrinsic global sequential length
+    (n_cp * length_local steps); what CP buys is MEMORY — each stage is
+    rematerialized (jax.checkpoint), so backward-pass residuals are
+    O(length_local) live at once instead of O(global length), and the scan
+    OUTPUT (the expensive per-step activations downstream consumers hold)
+    exists only for the local shard.
+
+    step_fn: (carry, None) -> (carry, y), as lax.scan with xs=None.
+    Returns ys [length_local, ...] — this shard's slice of the global scan
+    output (garbage on shards whose stage never matched, overwritten by the
+    where-select so every shard ends with ITS real slice).
+    """
+    n_cp = lax.axis_size(axis)
+    idx = lax.axis_index(axis)
+    perm = [(i, i + 1) for i in range(n_cp - 1)]
+
+    @jax.checkpoint
+    def stage(carry_in):
+        return lax.scan(step_fn, carry_in, None, length=length_local)
+
+    carry, ys = carry0, None
+    for j in range(n_cp):
+        new_carry, new_ys = stage(carry)
+        keep = idx == j
+        sel = lambda a, b: jnp.where(keep, a, b)  # noqa: E731
+        ys = new_ys if ys is None else jax.tree.map(sel, new_ys, ys)
+        kept = jax.tree.map(sel, new_carry, carry)
+        carry = jax.tree.map(lambda v: lax.ppermute(v, axis, perm), kept)
+    return ys
 
 
 def cp_phase_shuffle(x: jnp.ndarray, key: jax.Array, rad: int, axis: str

@@ -31,13 +31,20 @@ def make_mesh(cfg: Config, devices: list | None = None) -> Mesh:
     return Mesh(dev, ("data", "cp"))
 
 
+def _data_axes(mesh: Mesh):
+    """The batch axis is sharded over 'data', plus the outer 'dcn' axis on
+    a multi-host hybrid mesh (parallel.multihost) — DP is the only strategy
+    that rides DCN (SURVEY §2.4)."""
+    return ("dcn", "data") if "dcn" in mesh.axis_names else "data"
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for raw batches [n_views, B, T]: shard B over 'data'."""
-    return NamedSharding(mesh, P(None, "data", None))
+    return NamedSharding(mesh, P(None, _data_axes(mesh), None))
 
 
 def label_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(None, "data"))
+    return NamedSharding(mesh, P(None, _data_axes(mesh)))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

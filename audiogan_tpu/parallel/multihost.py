@@ -42,11 +42,18 @@ def make_multihost_mesh(cfg: Config) -> Mesh:
 
     n_slices = max(jax.process_count(), 1)
     if n_slices > 1:
-        from jax.experimental import mesh_utils
-        devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(cfg.mesh.dp, cfg.mesh.cp),
-            dcn_mesh_shape=(n_slices, 1),
-            devices=jax.devices())
+        try:
+            from jax.experimental import mesh_utils
+            devices = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(cfg.mesh.dp, cfg.mesh.cp),
+                dcn_mesh_shape=(n_slices, 1),
+                devices=jax.devices())
+        except Exception:
+            # CPU farms lack slice_index attributes: group by process,
+            # which IS the DCN boundary
+            devs = sorted(jax.devices(),
+                          key=lambda d: (d.process_index, d.id))
+            devices = np.asarray(devs)
     else:
         # single process: degenerate dcn axis of size 1 (no DCN hardware
         # attributes to consult)
@@ -54,3 +61,29 @@ def make_multihost_mesh(cfg: Config) -> Mesh:
         devices = np.asarray(jax.devices()[:need])
     return Mesh(devices.reshape(n_slices, cfg.mesh.dp, cfg.mesh.cp),
                 ("dcn", "data", "cp"))
+
+
+def make_train_mesh(cfg: Config) -> Mesh:
+    """The mesh train/loop.py runs on: the plain ('data','cp') ICI mesh in
+    a single process, or the ('dcn','data','cp') hybrid after
+    jax.distributed initialization when a cluster environment is present.
+    cfg.mesh.dp is PER-PROCESS on the hybrid mesh; global data parallelism
+    is process_count * dp."""
+    from audiogan_tpu.parallel.mesh import make_mesh
+
+    if maybe_initialize_distributed():
+        return make_multihost_mesh(cfg)
+    return make_mesh(cfg)
+
+
+def put_global_batch(arr, sharding):
+    """Host batch -> global jax.Array under `sharding`.
+
+    Multi-process: every process holds the SAME full batch (HostBatcher is
+    (seed, step)-pure, so ranks agree bit-for-bit) and each device picks its
+    slice via the callback — no cross-host data motion. Single-process:
+    plain device_put."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(arr.shape, sharding,
+                                            lambda idx: arr[idx])
+    return jax.device_put(arr, sharding)

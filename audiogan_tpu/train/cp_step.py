@@ -12,13 +12,15 @@ Collective structure per critic update:
   - one psum for the critic head score
   - GP norm: per-example ||grad||^2 summed locally then psum'd over cp
     (the gradient of a time-slice is the slice of the global gradient)
-  - parameter grads: each cp shard holds its slice's contribution ->
-    psum over 'cp', pmean over 'data'
+  - parameter grads: the vma transpose of the replicated params psums the
+    per-shard contributions over BOTH axes (the ICI all-reduce); dividing
+    by the data axis size yields the replica mean (see finalize_grads)
 
 Numerics: with phase shuffle off, cp=N equals the unsharded step exactly
-(pinned by tests/parallel/test_cp_step.py). Supports the wavegan generator
-and the conv critic (the [B:11] music config); GRU/dual-STFT stay on the
-batch-parallel step.
+(pinned by tests/parallel/test_cp_step.py, test_cp_gru.py, test_cp_stft.py).
+Covers every model family: wavegan AND gru generators (gru via
+cp_gru_generator_forward's ppermute carry handoff), conv critic AND the
+[B:10] dual wave+STFT critic (hop-aligned frames + (win-hop) halo).
 """
 
 from __future__ import annotations
@@ -62,25 +64,34 @@ def build_cp_train_step(cfg: Config, mesh) -> Callable:
     ingests the full (local-batch) clip — cheap elementwise work — and
     slices its time window; all model compute is time-sharded.
     """
-    if cfg.model.generator != "wavegan" or cfg.model.use_stft_critic:
-        raise NotImplementedError(
-            "cp train step supports the wavegan G + conv critic configs")
     n_critic = cfg.loss.n_critic
     gp_lambda = cfg.loss.gp_lambda
     latent = cfg.model.latent_dim
     opt_g, opt_d = make_optimizers(cfg)
     conditional = cfg.data.num_classes > 0
 
-    def g_apply(params_g, z, labels):
-        return cp_generator_forward(params_g, z, cfg, "cp", labels)
+    if cfg.model.generator == "gru":
+        from audiogan_tpu.parallel.cp_models import cp_gru_generator_forward
+
+        def g_apply(params_g, z, labels):
+            return cp_gru_generator_forward(params_g, z, cfg, "cp", labels)
+    else:
+        def g_apply(params_g, z, labels):
+            return cp_generator_forward(params_g, z, cfg, "cp", labels)
 
     def d_apply(params_d, x_loc, labels, key):
         return cp_discriminator_forward(params_d, x_loc, cfg, "cp",
                                         shuffle_key=key, labels=labels)
 
-    def psum_cp_pmean_data(tree):
-        tree = jax.tree.map(lambda g: lax.psum(g, "cp"), tree)
-        return jax.tree.map(lambda g: lax.pmean(g, "data"), tree)
+    def finalize_grads(tree):
+        """Under check_vma=True the transpose of using replicated params in
+        shard-varying compute already psums grads over BOTH mesh axes (see
+        train/step.py _replica_mean): over 'cp' that sum IS the correct
+        total of the time-slice partials; over 'data' divide to get the
+        replica mean. Explicit psum/pmean here would scale by the axis
+        size (masked by Adam's exact invariance to uniform grad scale)."""
+        n = lax.axis_size("data")
+        return jax.tree.map(lambda g: g / n, tree)
 
     def body(state: TrainState, raw, labels):
         base = jax.random.wrap_key_data(state.base_key)
@@ -123,7 +134,7 @@ def build_cp_train_step(cfg: Config, mesh) -> Callable:
 
             (d_loss, (w_dist, gp, gnorm)), grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(params_d)
-            grads = psum_cp_pmean_data(grads)
+            grads = finalize_grads(grads)
             updates, opt_d_state = opt_d.update(grads, opt_d_state, params_d)
             params_d = jax.tree.map(lambda a, u: a + u, params_d, updates)
             return (params_d, opt_d_state), dict(
@@ -147,7 +158,7 @@ def build_cp_train_step(cfg: Config, mesh) -> Callable:
             return wgan_g_loss(d_apply(params_d, fake_loc, lab_g, skg))
 
         g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.params_g)
-        g_grads = psum_cp_pmean_data(g_grads)
+        g_grads = finalize_grads(g_grads)
         g_updates, opt_g_state = opt_g.update(g_grads, state.opt_g,
                                               state.params_g)
         params_g = jax.tree.map(lambda a, u: a + u, state.params_g,

@@ -20,7 +20,9 @@ from audiogan_tpu.data.corpus import Corpus, HostBatcher, build_corpus
 from audiogan_tpu.data.synthetic import make_synthetic_sc09
 from audiogan_tpu.data.wavio import write_wav
 from audiogan_tpu.parallel.mesh import (batch_sharding, label_sharding,
-                                        make_mesh, state_shardings)
+                                        state_shardings)
+from audiogan_tpu.parallel.multihost import (make_train_mesh,
+                                             put_global_batch)
 from audiogan_tpu.train.sample import build_sample_fn
 from audiogan_tpu.train.state import create_train_state, param_count
 from audiogan_tpu.train.step import build_train_step, num_views
@@ -64,7 +66,9 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
     if cfg.data.num_classes and corpus.meta.get("num_classes", 0) == 0:
         raise ValueError("conditional config but corpus has no labels")
 
-    mesh = make_mesh(cfg)
+    # single-process: ('data','cp') ICI mesh; under jax.distributed:
+    # ('dcn','data','cp') hybrid, DP-only over DCN (SURVEY section 2.4)
+    mesh = make_train_mesh(cfg)
     n_views = num_views(cfg)
     batcher = HostBatcher(corpus, cfg.train.batch_size, n_views,
                           seed=cfg.train.seed)
@@ -121,8 +125,8 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
 
     def put(item):
         s, (clips, labels) = item
-        return s, (jax.device_put(clips, b_shard),
-                   jax.device_put(labels, l_shard))
+        return s, (put_global_batch(clips, b_shard),
+                   put_global_batch(labels, l_shard))
 
     prof_on, prof_off = (start + cfg.train.profile_steps[0],
                          start + cfg.train.profile_steps[1])

@@ -36,6 +36,24 @@ def num_views(cfg: Config) -> int:
     return cfg.loss.n_critic + (1 if cfg.loss.stft_loss_weight > 0 else 0)
 
 
+def _replica_mean(grads, axis_name: str):
+    """Mean of per-replica gradients, for vma-checked shard_map bodies.
+
+    Under `jax.shard_map(..., check_vma=True)` — REQUIRED for every
+    shard_map of these step bodies — the transpose of using the replicated
+    params in shard-varying compute already inserts the psum over
+    `axis_name`: each shard holds the global SUM of per-replica grads
+    (this is the grad all-reduce on ICI of [B:5]; verified empirically,
+    tests/parallel/test_dp.py). Dividing by the axis size yields the
+    replica mean. An explicit lax.pmean here would be an identity on the
+    already-replicated value (and psum would multiply by the axis size) —
+    a silent bug Adam masks, since its update is exactly invariant to a
+    uniform gradient scale.
+    """
+    n = jax.lax.axis_size(axis_name)
+    return jax.tree.map(lambda g: g / n, grads)
+
+
 def build_train_step(cfg: Config, axis_name: str | None = None
                      ) -> Callable[..., tuple[TrainState, dict]]:
     """Build the pure (state, raw, labels) -> (state, metrics) step.
@@ -111,7 +129,7 @@ def build_train_step(cfg: Config, axis_name: str | None = None
         (d_loss, (w_dist, gp, gnorm)), grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(params_d)
         if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)     # ICI all-reduce
+            grads = _replica_mean(grads, axis_name)     # ICI all-reduce
         updates, opt_d_state = opt_d.update(grads, opt_d_state, params_d)
         params_d = jax.tree.map(lambda p, u: p + u, params_d, updates)
         metrics = dict(d_loss=d_loss, w_dist=w_dist, gp=gp, gp_grad_norm=gnorm)
@@ -159,7 +177,7 @@ def build_train_step(cfg: Config, axis_name: str | None = None
         (g_loss, g_aux), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.params_g)
         if axis_name is not None:
-            g_grads = jax.lax.pmean(g_grads, axis_name)
+            g_grads = _replica_mean(g_grads, axis_name)
         g_updates, opt_g_state = opt_g.update(g_grads, state.opt_g,
                                               state.params_g)
         params_g = jax.tree.map(lambda p, u: p + u, state.params_g, g_updates)

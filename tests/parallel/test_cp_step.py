@@ -59,7 +59,7 @@ def test_cp_step_matches_unsharded():
     fn = jax.jit(jax.shard_map(
         body, mesh=ref_mesh,
         in_specs=(specs, P(None, "data", None), P(None, "data")),
-        out_specs=(specs, P()), check_vma=False))
+        out_specs=(specs, P()), check_vma=True))
     h_ref = []
     for s in range(2):
         clips, labels = raw_batch(cfg, seed=100 + s)

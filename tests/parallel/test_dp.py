@@ -57,7 +57,7 @@ def test_shard_map_dp_runs_and_is_deterministic():
         body, mesh=mesh,
         in_specs=(state_specs, P(None, "data", None), P(None, "data")),
         out_specs=(state_specs, P()),
-        check_vma=False)
+        check_vma=True)
     step = jax.jit(fn)
 
     def run():
@@ -77,8 +77,53 @@ def test_shard_map_dp_runs_and_is_deterministic():
 
 
 def test_shard_map_grads_equal_manual_replica_mean():
-    """The pmean'd update must equal the mean of per-replica updates
-    computed by hand with the same folded keys (DP correctness oracle)."""
+    """DP grad-semantics oracle, computed by hand on ONE device.
+
+    The step bodies rely on a specific vma-checked shard_map AD fact: the
+    grad of a shard-varying loss w.r.t. REPLICATED params arrives already
+    psum'd over the axis (the transpose auto-inserts the all-reduce), so
+    the body divides by the axis size to get the replica mean
+    (train/step.py _replica_mean). This test pins that contract with the
+    same structure the step uses — per-replica data via axis_index-folded
+    keys, grad inside shard_map, _replica_mean — against grads computed
+    replica-by-replica on one device and averaged. A silent change in
+    shard_map's grad semantics (the bug class Adam's scale invariance
+    masks) fails this test.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    from audiogan_tpu.train.step import _replica_mean
+
+    cfg = _cfg()
+    mesh = make_mesh(cfg)
+    b_loc = cfg.train.batch_size // DP
+    w0 = jax.random.normal(jax.random.key(3), (16, 16))
+    base = jax.random.key(11)
+
+    def replica_batch(i):
+        return jax.random.normal(jax.random.fold_in(base, i), (b_loc, 16))
+
+    def loss(w, x):
+        return jnp.mean(jnp.tanh(x @ w) ** 2)
+
+    def sharded_grads(w):
+        i = lax.axis_index("data")
+        g = jax.grad(loss)(w, replica_batch(i))
+        return _replica_mean(g, "data")
+
+    got = jax.jit(shard_map(sharded_grads, mesh=mesh, in_specs=P(),
+                            out_specs=P(), check_vma=True))(w0)
+
+    want = np.mean(np.stack(
+        [np.asarray(jax.grad(loss)(w0, replica_batch(i)))
+         for i in range(DP)]), axis=0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_shard_map_step_params_stay_replicated():
+    """Full shard_map'd step output params must be bit-identical across
+    devices (replica invariance of the replicated state)."""
     cfg = _cfg()
     mesh = make_mesh(cfg)
     body = build_train_step(cfg, axis_name="data")
@@ -87,16 +132,12 @@ def test_shard_map_grads_equal_manual_replica_mean():
         body, mesh=mesh,
         in_specs=(state_specs, P(None, "data", None), P(None, "data")),
         out_specs=(state_specs, P()),
-        check_vma=False))
+        check_vma=True))
 
     state0 = create_train_state(cfg)
     clips, labels = raw_batch(cfg, seed=7)
     state_dp, _ = fn(state0, clips, labels)
 
-    # manual: single-device loop over the 8 shards with axis_index folded in
-    # is NOT directly expressible (axis_index needs the axis), so instead
-    # assert replica-invariance: params stay bit-identical across devices
-    # (addressable shards of the replicated output all match).
     leaf = jax.tree.leaves(state_dp.params_g)[0]
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     for sh in shards[1:]:

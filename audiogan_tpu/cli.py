@@ -72,6 +72,9 @@ def _load_cfg(args) -> Config:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from audiogan_tpu.utils.xla_cache import enable_compilation_cache
+    enable_compilation_cache()  # warm re-launches (resume, CI) skip compiles
+
     p = argparse.ArgumentParser(prog="audiogan")
     sub = p.add_subparsers(dest="cmd", required=True)
 

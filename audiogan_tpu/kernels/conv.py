@@ -281,30 +281,68 @@ def _convt_pallas(x, w, s, pad_lo, out_len):
 # lowerings used by kernels.primitives + public API
 # ---------------------------------------------------------------------------
 
-def conv1d_lowered(x, w, stride, pad_lo, pad_hi):
+def _convt_polyphase_xla(x, w, s, pad_lo, out_len):
+    """conv_transpose as ONE stride-1 XLA conv over output phases — the
+    lhs_dilation-free formulation (same math as _convt_pallas's V gather):
+
+        y[m*s + rho] = sum_q x[m + q] @ w[pad_lo - rho + q*s]
+
+    Two reasons this replaces the lax lhs_dilation form everywhere:
+    1. CORRECTNESS: the axon TPU platform MISCOMPILES lhs_dilation convs for
+       some geometries (k=2s+1 with pad_lo=s, e.g. k=9/s=4/pad=(4,4):
+       max|err| ~ 1e1 on O(1) data, verified on-chip 2026-08-16 vs CPU and
+       a float64 oracle; k=25/s=4/pad=(12,12) happens to be fine). Pinned
+       by tests/ops/test_convt_polyphase.py + tests_tpu/run_pallas_tpu.py.
+    2. SPEED: a dilated conv visits s-1 zeros per real sample; this form is
+       one dense [Q, cin, s*cout] conv — the MXU-native shape, no wasted
+       positions.
+    """
+    b, t_in, cin = x.shape
+    k, _, cout = w.shape
+    m_out = _cdiv(out_len, s)
+    q_min = -(pad_lo // s)
+    q_max = (k + s - 2 - pad_lo) // s
+    q_taps = q_max - q_min + 1
+
+    # V[tau, c, rho*cout + o] = w[pad_lo - rho + (q_min+tau)*s, c, o]
+    # (zero where the tap leaves [0, k)); static gather at trace time.
+    tau = np.arange(q_taps)[:, None]
+    rho = np.arange(s)[None, :]
+    j_idx = pad_lo - rho + (q_min + tau) * s                    # [Q, s]
+    valid = (j_idx >= 0) & (j_idx < k)
+    v = jnp.where(jnp.asarray(valid)[:, :, None, None],
+                  w[np.clip(j_idx, 0, k - 1)], 0)               # [Q,s,ci,co]
+    v = v.transpose(0, 2, 1, 3).reshape(q_taps, cin, s * cout)
+
+    out = lax.conv_general_dilated(
+        x, v, window_strides=(1,),
+        padding=[(-q_min, m_out + q_max - t_in)],
+        dimension_numbers=("NWC", "WIO", "NWC"))                # [B,m_out,s*co]
+    return out.reshape(b, m_out * s, cout)[:, :out_len]
+
+
+def conv1d_lowered(x, w, stride, pad_lo, pad_hi, impl="pallas"):
     """Lowering body for the audiogan_conv1d primitive (pallas or XLA)."""
     k, cin, cout = w.shape
     t_in = x.shape[1]
     t_out = (t_in + pad_lo + pad_hi - k) // stride + 1
-    if min(cin, cout) < MIN_CH:
+    if impl != "pallas" or min(cin, cout) < MIN_CH:
         return lax.conv_general_dilated(
             x, w, window_strides=(stride,), padding=[(pad_lo, pad_hi)],
             dimension_numbers=("NWC", "WIO", "NWC"))
     return _conv1d_pallas(x, w, stride, pad_lo, pad_hi, t_out)
 
 
-def convt1d_lowered(x, w, stride, pad_lo, out_len):
-    """Lowering body for the audiogan_convt1d primitive (pallas or XLA)."""
+def convt1d_lowered(x, w, stride, pad_lo, out_len, impl="pallas"):
+    """Lowering body for the audiogan_convt1d primitive (pallas or XLA).
+
+    NEVER emits lhs_dilation (miscompiled on this TPU platform — see
+    _convt_polyphase_xla): the XLA tier is the polyphase-phases conv.
+    """
     k, cin, cout = w.shape
-    if min(cin, cout) < MIN_CH or out_len % stride != 0:
-        t = x.shape[1]
-        dilated_len = (t - 1) * stride + 1
-        total_pad = out_len - 1 + k - dilated_len
-        return lax.conv_general_dilated(
-            x, w, window_strides=(1,),
-            padding=[(pad_lo, total_pad - pad_lo)],
-            lhs_dilation=(stride,),
-            dimension_numbers=("NWC", "WIO", "NWC"))
+    if (impl != "pallas" or min(cin, cout) < MIN_CH
+            or out_len % stride != 0):
+        return _convt_polyphase_xla(x, w, stride, pad_lo, out_len)
     return _convt_pallas(x, w, stride, pad_lo, out_len)
 
 
@@ -317,20 +355,24 @@ def _same_pads_public(t_in, k, stride, padding):
 
 
 def conv1d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
-           padding: Any = "SAME") -> jnp.ndarray:
+           padding: Any = "SAME", impl: str = "pallas") -> jnp.ndarray:
     """Strided cross-correlation [B,T,Cin] x [K,Cin,Cout] -> [B,T',Cout].
 
     Differentiable to arbitrary order in fwd and rev mode (primitive with
-    bilinear jvp + transpose rules, SURVEY R2).
+    bilinear jvp + transpose rules, SURVEY R2). impl="xla" uses the pure-XLA
+    lowering of the SAME primitive, so its gradients also route through our
+    transpose rules (never through lax's lhs_dilation transpose — see
+    _convt_polyphase_xla for why that matters on this platform).
     """
     from audiogan_tpu.kernels.primitives import conv1d_prim
     _, lo, hi = _same_pads_public(x.shape[1], w.shape[0], stride, padding)
-    return conv1d_prim(x, w, stride=stride, pad_lo=lo, pad_hi=hi)
+    return conv1d_prim(x, w, stride=stride, pad_lo=lo, pad_hi=hi, impl=impl)
 
 
 def conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray, stride: int,
                      pad_lo: int | None = None,
-                     out_len: int | None = None) -> jnp.ndarray:
+                     out_len: int | None = None,
+                     impl: str = "pallas") -> jnp.ndarray:
     """Fractionally-strided conv [B,T,Cin] -> [B,out_len,Cout].
 
     Defaults (pad_lo=(K-1)//2, out_len=T*stride) match the XLA path in
@@ -342,4 +384,5 @@ def conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray, stride: int,
         pad_lo = (k - 1) // 2
     if out_len is None:
         out_len = x.shape[1] * stride
-    return convt1d_prim(x, w, stride=stride, pad_lo=pad_lo, out_len=out_len)
+    return convt1d_prim(x, w, stride=stride, pad_lo=pad_lo, out_len=out_len,
+                        impl=impl)

@@ -37,42 +37,71 @@ conv1d_p = jex_core.Primitive("audiogan_conv1d")
 convt1d_p = jex_core.Primitive("audiogan_convt1d")
 
 
-def conv1d_prim(x, w, stride: int, pad_lo: int, pad_hi: int):
-    return conv1d_p.bind(x, w, stride=stride, pad_lo=pad_lo, pad_hi=pad_hi)
+# vma (varying-manual-axes) plumbing for vma-checked shard_map bodies
+# (jax.shard_map(..., check_vma=True) types every value with the mesh axes
+# it varies over; a primitive must lift unvarying operands — the replicated
+# weights — to the union and declare its output's vma, exactly like lax
+# primitives do via these two helpers).
+from jax._src.core import (ShapedArray,  # noqa: E402
+                           standard_insert_pvary, standard_vma_rule)
 
 
-def convt1d_prim(x, w, stride: int, pad_lo: int, out_len: int):
+def conv1d_prim(x, w, stride: int, pad_lo: int, pad_hi: int,
+                impl: str = "pallas"):
+    x, w = standard_insert_pvary(x, w)
+    return conv1d_p.bind(x, w, stride=stride, pad_lo=pad_lo, pad_hi=pad_hi,
+                         impl=impl)
+
+
+def convt1d_prim(x, w, stride: int, pad_lo: int, out_len: int,
+                 impl: str = "pallas"):
+    x, w = standard_insert_pvary(x, w)
     return convt1d_p.bind(x, w, stride=stride, pad_lo=pad_lo,
-                          out_len=out_len)
+                          out_len=out_len, impl=impl)
 
 
 def _conv1d_t_out(t_in, k, stride, pad_lo, pad_hi):
     return (t_in + pad_lo + pad_hi - k) // stride + 1
 
 
-def _conv1d_impl(x, w, *, stride, pad_lo, pad_hi):
+def _conv1d_impl(x, w, *, stride, pad_lo, pad_hi, impl):
     from audiogan_tpu.kernels.conv import conv1d_lowered
-    return conv1d_lowered(x, w, stride, pad_lo, pad_hi)
+    return conv1d_lowered(x, w, stride, pad_lo, pad_hi, impl)
 
 
-def _convt1d_impl(x, w, *, stride, pad_lo, out_len):
+def _convt1d_impl(x, w, *, stride, pad_lo, out_len, impl):
     from audiogan_tpu.kernels.conv import convt1d_lowered
-    return convt1d_lowered(x, w, stride, pad_lo, out_len)
+    return convt1d_lowered(x, w, stride, pad_lo, out_len, impl)
 
 
-def _conv1d_abstract(x, w, *, stride, pad_lo, pad_hi):
+def _out_aval(prim, x, w, shape):
+    """[B, T', Cout] output aval with the vma of the inputs.
+
+    A non-empty vma (inside a vma-checked shard_map body) requires a
+    sharding whose mesh knows the manual axes; x's own sharding is that
+    context (its spec is rank-3 all-None under full-manual shard_map).
+    Outside shard_map the vma union is empty and the default sharding
+    applies, matching the pre-vma behavior.
+    """
+    vma = standard_vma_rule(prim.name, x, w)
+    if vma:
+        return ShapedArray(shape, x.dtype, vma=vma, sharding=x.sharding)
+    return ShapedArray(shape, x.dtype)
+
+
+def _conv1d_abstract(x, w, *, stride, pad_lo, pad_hi, impl):
     b, t_in, cin = x.shape
     k, cin2, cout = w.shape
     assert cin == cin2, (x.shape, w.shape)
     t_out = _conv1d_t_out(t_in, k, stride, pad_lo, pad_hi)
-    return jax.core.ShapedArray((b, t_out, cout), x.dtype)
+    return _out_aval(conv1d_p, x, w, (b, t_out, cout))
 
 
-def _convt1d_abstract(x, w, *, stride, pad_lo, out_len):
+def _convt1d_abstract(x, w, *, stride, pad_lo, out_len, impl):
     b, t_in, cin = x.shape
     k, cin2, cout = w.shape
     assert cin == cin2, (x.shape, w.shape)
-    return jax.core.ShapedArray((b, out_len, cout), x.dtype)
+    return _out_aval(convt1d_p, x, w, (b, out_len, cout))
 
 
 conv1d_p.def_abstract_eval(_conv1d_abstract)
@@ -105,15 +134,15 @@ def _flip(w):
     return jnp.swapaxes(w[::-1], 1, 2)  # [K, Cout, Cin]
 
 
-def _conv1d_transpose_x(ct, x, w, *, stride, pad_lo, pad_hi):
+def _conv1d_transpose_x(ct, x, w, *, stride, pad_lo, pad_hi, impl):
     # d/dx: fractionally-strided conv of the cotangent with flipped kernel
     k = w.shape[0]
     t_in = x.aval.shape[1]
     return convt1d_prim(ct, _flip(w), stride=stride,
-                        pad_lo=k - 1 - pad_lo, out_len=t_in)
+                        pad_lo=k - 1 - pad_lo, out_len=t_in, impl=impl)
 
 
-def _conv1d_transpose_w(ct, x, w, *, stride, pad_lo, pad_hi):
+def _conv1d_transpose_w(ct, x, w, *, stride, pad_lo, pad_hi, impl):
     # Phase-grouped: dW_q[(r,c), o] = sum_{b,t} x_rows[b, t+q, (r,c)] ct[b,t,o]
     # with x_rows[m] = x_sh[m*s : (m+1)*s] flattened — Q = ceil(K/s) einsums
     # with s*cin-wide contractions instead of K strided cin-wide ones
@@ -134,16 +163,16 @@ def _conv1d_transpose_w(ct, x, w, *, stride, pad_lo, pad_hi):
     return dw.astype(w.aval.dtype)
 
 
-def _convt1d_transpose_x(ct, x, w, *, stride, pad_lo, out_len):
+def _convt1d_transpose_x(ct, x, w, *, stride, pad_lo, out_len, impl):
     k = w.shape[0]
     t_in = x.aval.shape[1]
     lo = k - 1 - pad_lo
     hi = (t_in - 1) * stride + k - lo - out_len
     return conv1d_prim(ct, _flip(w), stride=stride, pad_lo=lo,
-                       pad_hi=max(hi, 0))
+                       pad_hi=max(hi, 0), impl=impl)
 
 
-def _convt1d_transpose_w(ct, x, w, *, stride, pad_lo, out_len):
+def _convt1d_transpose_w(ct, x, w, *, stride, pad_lo, out_len, impl):
     k, cin, cout = w.aval.shape
     s = stride
     b, t_in, _ = x.shape
@@ -172,13 +201,20 @@ def _convt1d_transpose_w(ct, x, w, *, stride, pad_lo, out_len):
         rho_j = (pad_lo - j) % s
         tau_j = (j - pad_lo + rho_j) // s - q_min
         return dv[tau_j, :, rho_j, :].astype(w.aval.dtype)
-    # rare non-aligned path: explicit input dilation
+    # rare non-aligned path: explicit input dilation.
+    # Forward: y[n] = sum_j xd[n + j - pad_lo] w[j], so
+    #   dw[j]  = sum_m xd[m] ct[m + pad_lo - j]
+    # (note the MINUS j: an earlier version sliced ct at +j, which computes
+    # dw[2*pad_lo - j] — a tap reversal that broke 2nd-order CP grads).
     xd = jnp.zeros((x.shape[0], (t_in - 1) * s + 1, cin),
                    x.dtype).at[:, ::s].set(x)
-    ct_pad = jnp.pad(ct, ((0, 0), (pad_lo, k), (0, 0)))
+    xd_len = xd.shape[1]
+    front = max(k - 1 - pad_lo, 0)
+    ct_pad = jnp.pad(ct, ((0, 0), (front, xd_len + k), (0, 0)))
     dws = []
     for j in range(k):
-        seg = lax.slice_in_dim(ct_pad, j, j + xd.shape[1], axis=1)
+        start = front + pad_lo - j
+        seg = lax.slice_in_dim(ct_pad, start, start + xd_len, axis=1)
         dws.append(jnp.einsum("btc,bto->co", xd, seg,
                               preferred_element_type=jnp.float32))
     return jnp.stack(dws).astype(w.aval.dtype)
@@ -199,7 +235,7 @@ def _batch_rule(prim):
         if dw is not None:
             raise NotImplementedError(
                 f"vmap over {prim.name} weights is not supported")
-        x = batching.moveaxis(x, dx, 0)
+        x = jnp.moveaxis(x, dx, 0)
         v, b, t, c = x.shape
         out = prim.bind(x.reshape(v * b, t, c), w, **params)
         return out.reshape(v, b, *out.shape[1:]), 0

@@ -4,12 +4,21 @@ This is the seam between the model layer (A4) and the kernel layer (A1):
 models call `conv1d` / `conv_transpose1d` with an `impl` string and never
 touch lax or Pallas directly.
 
-  impl="xla"    lax.conv_general_dilated / lax.conv_transpose — always
-                available, infinitely differentiable (the gradient-penalty
+  impl="xla"    pure-XLA lowering (lax.conv for strided conv, polyphase
+                stride-1 conv for conv-transpose) — always available,
+                infinitely differentiable (the gradient-penalty
                 double-backprop path [B:5] needs 2nd-order AD).
   impl="pallas" hand-written TPU kernels in audiogan_tpu.kernels, with
                 custom VJPs whose backward passes are themselves built from
                 these kernels so reverse-over-reverse AD composes.
+
+BOTH impls route through the audiogan_conv1d/convt1d JAX primitives
+(kernels/primitives.py) so that gradients always use OUR transpose rules.
+This is a correctness requirement on this platform, not a convenience: the
+axon TPU backend miscompiles lax lhs_dilation convolutions for some
+geometries (k=2s+1, pad=s — e.g. every kernel_size=9/stride=4 layer),
+and lax.conv's own data-gradient emits exactly that op. See
+kernels/conv.py::_convt_polyphase_xla for the on-chip evidence.
 
 Layout: activations [B, T, C] (NWC — channels on the TPU lane dim),
 weights [K, C_in, C_out] (WIO).
@@ -18,7 +27,6 @@ weights [K, C_in, C_out] (WIO).
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax import lax
 
 
 def conv1d(
@@ -29,17 +37,8 @@ def conv1d(
     impl: str = "xla",
 ) -> jnp.ndarray:
     """Strided cross-correlation: [B,T,C_in] x [K,C_in,C_out] -> [B,T',C_out]."""
-    if impl == "pallas":
-        from audiogan_tpu.kernels import conv1d as pallas_conv1d
-        return pallas_conv1d(x, w, stride=stride, padding=padding)
-    if isinstance(padding, tuple):
-        padding = [padding]
-    return lax.conv_general_dilated(
-        x, w,
-        window_strides=(stride,),
-        padding=padding,
-        dimension_numbers=("NWC", "WIO", "NWC"),
-    )
+    from audiogan_tpu.kernels.conv import conv1d as kernel_conv1d
+    return kernel_conv1d(x, w, stride=stride, padding=padding, impl=impl)
 
 
 def conv_transpose1d(
@@ -50,24 +49,10 @@ def conv_transpose1d(
 ) -> jnp.ndarray:
     """Fractionally-strided conv: [B,T,C_in] -> [B, T*stride, C_out].
 
-    Defined as the input-dilated conv (insert stride-1 zeros between inputs,
-    then SAME cross-correlation) — output length is exactly T*stride.
+    Semantics: input-dilated conv (stride-1 zeros between inputs, centered
+    filter, SAME-style padding) — output length is exactly T*stride. The
+    lowering never materializes the dilation (see module docstring).
     """
-    if impl == "pallas":
-        from audiogan_tpu.kernels import conv_transpose1d as pallas_convt1d
-        return pallas_convt1d(x, w, stride=stride)
-    k = w.shape[0]
-    t = x.shape[1]
-    out_len = t * stride
-    dilated_len = (t - 1) * stride + 1
-    # SAME-style padding for the dilated conv so out_len == t * stride:
-    total_pad = out_len - 1 + k - dilated_len
-    pad_lo = (k - 1) // 2  # centered filter
-    pad_hi = total_pad - pad_lo
-    return lax.conv_general_dilated(
-        x, w,
-        window_strides=(1,),
-        padding=[(pad_lo, pad_hi)],
-        lhs_dilation=(stride,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-    )
+    from audiogan_tpu.kernels.conv import \
+        conv_transpose1d as kernel_convt1d
+    return kernel_convt1d(x, w, stride=stride, impl=impl)

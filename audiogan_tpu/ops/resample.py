@@ -1,12 +1,19 @@
-"""On-device polyphase resampling as a dilated/strided XLA conv (SURVEY C2).
+"""On-device polyphase resampling as ONE strided XLA conv (SURVEY C2).
 
 Reference equivalent: libsamplerate / scipy.signal.resample_poly called on
 the host per clip [B:5]. TPU-native design: rate conversion by a rational
-factor up/down is exactly one `lax.conv_general_dilated` with
-lhs_dilation=up (zero-stuffing), window_strides=down, and a Kaiser-windowed
-sinc anti-alias filter — it runs on device, batches over the clip axis, and
-XLA fuses the surrounding ingest elementwise ops into it. Filter design
-matches scipy.signal.resample_poly's default (Kaiser beta=5.0,
+factor up/down is one stride-`down` `lax.conv_general_dilated` whose `up`
+output channels are the polyphase decomposition of a Kaiser-windowed sinc
+anti-alias filter:
+
+    y[p + q*up] = sum_r x[q*down + r] * h[r*up - p*down + half_len]
+
+so each output reads only the ~2*taps_per_phase real input samples under
+its filter support — never the stride-1 zeros of the textbook zero-stuffed
+formulation. (An earlier version used lhs_dilation=up for the zero-stuffing;
+that op is MISCOMPILED for some geometries on the axon TPU platform — see
+kernels/conv.py::_convt_polyphase_xla — and does up times more MACs.)
+Filter design matches scipy.signal.resample_poly's default (Kaiser beta=5.0,
 half-length = taps_per_phase * max(up, down)) so the scipy oracle test can
 assert close agreement.
 """
@@ -70,19 +77,26 @@ def resample_poly(
     h = design_polyphase_filter(up, down, taps_per_phase, beta)
     half_len = (len(h) - 1) // 2
     out_len = resample_output_len(t, up, down)
-    dilated_len = (t - 1) * up + 1
-    # Padding so output[k] = sum_j h[j] * x_dil[k*down + j - half_len]:
-    pad_lo = half_len
-    pad_hi = (out_len - 1) * down + half_len + 1 - dilated_len
-    pad_hi = max(pad_hi, 0)
 
-    lhs = x[:, None, :]                      # [B, C=1, T]  (NCW)
-    rhs = jnp.asarray(h, x.dtype)[None, None, :]  # [O=1, I=1, K]
+    # Polyphase taps: G[r - r_min, p] = h[r*up - p*down + half_len]
+    # (zero where the index leaves the filter). r spans the union of the
+    # per-phase supports so all phases share one conv window.
+    r_min = -(half_len // up)
+    r_max = ((up - 1) * down + half_len) // up
+    r = np.arange(r_min, r_max + 1)[:, None]            # [R, 1]
+    p = np.arange(up)[None, :]                          # [1, up]
+    j = r * up - p * down + half_len
+    valid = (j >= 0) & (j < len(h))
+    g = np.where(valid, h[np.clip(j, 0, len(h) - 1)], 0.0)  # [R, up]
+
+    q_out = -(-out_len // up)                 # phase rows to produce
+    pad_lo = -r_min
+    pad_hi = max((q_out - 1) * down + r_max - (t - 1), 0)
     y = lax.conv_general_dilated(
-        lhs, rhs,
+        x[:, :, None],                                  # [B, T, 1]  (NWC)
+        jnp.asarray(g, x.dtype)[:, None, :],            # [R, 1, up] (WIO)
         window_strides=(down,),
         padding=[(pad_lo, pad_hi)],
-        lhs_dilation=(up,),
-        dimension_numbers=("NCW", "OIW", "NCW"),
-    )
-    return y[:, 0, :out_len]
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )                                                   # [B, q_out, up]
+    return y[:, :q_out].reshape(b, q_out * up)[:, :out_len]

@@ -100,31 +100,17 @@ def cp_conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray, stride: int,
         idx = lax.axis_index(axis)
         x_full = lax.all_gather(x, axis, axis=1, tiled=True)
         t_full = x_full.shape[1]
-        if impl == "pallas":
-            from audiogan_tpu.kernels import conv_transpose1d as pconvt
-            y_full = pconvt(x_full, w, s, pad_lo=pad_lo, out_len=t_full * s)
-        else:
-            dl = (t_full - 1) * s + 1
-            total = t_full * s - 1 + k - dl
-            y_full = lax.conv_general_dilated(
-                x_full, w, window_strides=(1,),
-                padding=[(pad_lo, total - pad_lo)], lhs_dilation=(s,),
-                dimension_numbers=("NWC", "WIO", "NWC"))
+        from audiogan_tpu.kernels import conv_transpose1d as kconvt
+        y_full = kconvt(x_full, w, s, pad_lo=pad_lo, out_len=t_full * s,
+                        impl=impl)
         return lax.dynamic_slice_in_dim(y_full, idx * t_loc * s, t_loc * s,
                                         axis=1)
     x_ext = gather_halo(x, lx, rx, axis)
-    if impl == "pallas":
-        from audiogan_tpu.kernels import conv_transpose1d as pconvt
-        y_ext = pconvt(x_ext, w, s, pad_lo=pad_lo,
-                       out_len=(t_loc + lx + rx) * s)
-    else:
-        # XLA: input-dilated conv with the same indexing
-        dilated_len = (x_ext.shape[1] - 1) * s + 1
-        out_len = (t_loc + lx + rx) * s
-        total = out_len - 1 + k - dilated_len
-        y_ext = lax.conv_general_dilated(
-            x_ext, w, window_strides=(1,), padding=[(pad_lo, total - pad_lo)],
-            lhs_dilation=(s,), dimension_numbers=("NWC", "WIO", "NWC"))
+    from audiogan_tpu.kernels import conv_transpose1d as kconvt
+    # both impls are lhs_dilation-free (kernels/conv.py: Pallas polyphase
+    # kernel, or the XLA polyphase-phases conv)
+    y_ext = kconvt(x_ext, w, s, pad_lo=pad_lo,
+                   out_len=(t_loc + lx + rx) * s, impl=impl)
     return lax.slice_in_dim(y_ext, lx * s, lx * s + t_loc * s, axis=1)
 
 

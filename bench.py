@@ -16,12 +16,31 @@ from __future__ import annotations
 
 import argparse
 import json
+import pathlib
 import time
 
-# Proxy denominator: eager torch-CPU WGAN-GP step on identical math/config,
-# measured on this host 2026-08-16 via `python -m bench.proxy_torch --steps 2`
-# -> 147.5 s/step (see BASELINE.md). Re-measure with --measure_proxy.
-PROXY_STEPS_PER_SEC = 0.00678
+# Proxy denominators (eager torch-CPU and eager un-jitted JAX-CPU WGAN-GP
+# steps on identical math/config) are MEASURED values recorded in
+# bench/proxy_measurements.json — not constants. Re-measure with
+# --measure_proxy (rewrites the file) or the bench.proxy_* modules.
+_PROXY_FILE = pathlib.Path(__file__).parent / "bench" / \
+    "proxy_measurements.json"
+
+
+def load_proxy(name: str) -> float:
+    data = json.loads(_PROXY_FILE.read_text())
+    return float(data[name]["steps_per_sec"])
+
+
+def record_proxy(name: str, steps_per_sec: float, sec_per_step: float,
+                 batch: int, cmd: str) -> None:
+    data = json.loads(_PROXY_FILE.read_text())
+    data[name] = {"steps_per_sec": round(steps_per_sec, 6),
+                  "sec_per_step": round(sec_per_step, 3),
+                  "batch": batch,
+                  "measured": time.strftime("%Y-%m-%d"),
+                  "cmd": cmd}
+    _PROXY_FILE.write_text(json.dumps(data, indent=2) + "\n")
 
 
 def bench_train(cfg, n_warmup=2, n_steps=10):
@@ -80,36 +99,29 @@ def bench_sample(cfg, n_warmup=2, n_iters=10, num=64):
     return audio_sec / dt
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", default="wgan_gp_b64")
-    ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--kernels", default=None, choices=["xla", "pallas"])
-    ap.add_argument("--dtype", default="bfloat16",
-                    choices=["float32", "bfloat16"],
-                    help="compute dtype (params stay f32); bf16 is the "
-                         "production TPU path — GP norms track f32 to 1e-3 "
-                         "(BASELINE.md)")
-    ap.add_argument("--measure_proxy", action="store_true",
-                    help="also run the torch-CPU proxy (slow)")
-    args = ap.parse_args()
+PRESETS = ["tiny_sc09", "wgan_gp_b64", "cond_gru_sc09", "dual_stft",
+           "music_44k_dp16"]
+
+
+def bench_one(preset: str, dtype: str, kernels: str | None, steps: int,
+              proxy: float) -> dict:
+    import dataclasses
 
     from audiogan_tpu.cli import apply_overrides
     from audiogan_tpu.config import get_preset
-    cfg = get_preset(args.preset)
-    cfg = apply_overrides(cfg, [f"train.dtype={args.dtype}"])
-    if args.kernels:
-        cfg = apply_overrides(cfg, [f"train.kernels={args.kernels}"])
+    cfg = get_preset(preset)
+    cfg = apply_overrides(cfg, [f"train.dtype={dtype}"])
+    if kernels:
+        cfg = apply_overrides(cfg, [f"train.kernels={kernels}"])
+    if cfg.mesh.dp * cfg.mesh.cp > 1:
+        # bench runs on the ONE real chip; preset meshes (music_44k_dp16)
+        # are exercised on the virtual CPU farm by tests/parallel instead
+        import audiogan_tpu.config as _c
+        cfg = dataclasses.replace(cfg, mesh=_c.MeshCfg(dp=1, cp=1))
 
-    steps_per_sec = bench_train(cfg, n_steps=args.steps)
+    steps_per_sec = bench_train(cfg, n_steps=steps)
     audio_sec_per_sec = bench_sample(cfg)
-
-    proxy = PROXY_STEPS_PER_SEC
-    if args.measure_proxy:
-        from bench.proxy_torch import train_steps
-        proxy = 1.0 / min(train_steps(n_steps=2, batch=cfg.train.batch_size))
-
-    print(json.dumps({
+    return {
         "metric": "train_steps_per_sec",
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
@@ -121,7 +133,45 @@ def main():
         "kernels": cfg.train.kernels,
         "dtype": cfg.train.dtype,
         "proxy_steps_per_sec": round(proxy, 5),
-    }))
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="wgan_gp_b64",
+                    help="preset name, or 'all' for one JSON line per "
+                         "preset (manual runs; the driver default is the "
+                         "flagship single line)")
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--kernels", default=None, choices=["xla", "pallas"])
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="compute dtype (params stay f32); bf16 is the "
+                         "production TPU path — GP norms track f32 to 1e-3 "
+                         "(BASELINE.md)")
+    ap.add_argument("--proxy", default="torch-cpu-eager",
+                    choices=["torch-cpu-eager", "jax-cpu-eager"],
+                    help="which measured proxy denominator to report "
+                         "against (bench/proxy_measurements.json)")
+    ap.add_argument("--measure_proxy", action="store_true",
+                    help="re-measure the chosen proxy now (slow: minutes "
+                         "per step on CPU) and record it")
+    args = ap.parse_args()
+
+    if args.measure_proxy:
+        mod = {"torch-cpu-eager": "bench.proxy_torch",
+               "jax-cpu-eager": "bench.proxy_jax"}[args.proxy]
+        import importlib
+        times = importlib.import_module(mod).train_steps(n_steps=2)
+        best = min(times)
+        record_proxy(args.proxy, 1.0 / best, best, 64,
+                     f"python -m {mod} --steps 2")
+    proxy = load_proxy(args.proxy)
+
+    presets = PRESETS if args.preset == "all" else [args.preset]
+    for preset in presets:
+        print(json.dumps(bench_one(preset, args.dtype, args.kernels,
+                                   args.steps, proxy)), flush=True)
 
 
 if __name__ == "__main__":

@@ -63,9 +63,19 @@ class D(nn.Module):
         for i, c in enumerate(self.convs):
             h = F.leaky_relu(c(h), 0.2)
             if self.shuffle and i < len(self.convs) - 1:
-                n = int(torch.randint(-self.shuffle, self.shuffle + 1, ()))
-                h = torch.roll(h, n, dims=-1)  # cheap stand-in shift
+                h = phase_shuffle(h, self.shuffle)
         return self.fc(h.flatten(1))[:, 0]
+
+
+def phase_shuffle(h, n):
+    """Per-example reflect-padded random shift (same semantics as
+    audiogan_tpu/ops/phase_shuffle.py — WaveGAN's regularizer), replacing
+    an earlier torch.roll stand-in that under-counted the proxy's work."""
+    b, _, t = h.shape
+    shifts = torch.randint(-n, n + 1, (b,))
+    hp = F.pad(h, (n, n), mode="reflect")
+    idx = (torch.arange(t)[None, :] + n + shifts[:, None])
+    return torch.gather(hp, 2, idx[:, None, :].expand(-1, h.shape[1], -1))
 
 
 def train_steps(n_steps=3, batch=64, n_critic=5, clip=16384, d=64):

@@ -24,6 +24,8 @@ def main():
     import jax
     jax.config.update("jax_platforms", "cpu")   # config beats env here
     jax.config.update("jax_default_matmul_precision", "highest")
+    from audiogan_tpu.utils.xla_cache import enable_compilation_cache
+    enable_compilation_cache()                  # env from parent conftest
     jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                                num_processes=nproc, process_id=pid)
     assert jax.process_count() == nproc

@@ -11,6 +11,10 @@ import sys
 import time
 from pathlib import Path
 
+import pytest
+
+pytestmark = pytest.mark.slow  # 3 subprocess training runs; `make test-all`
+
 REPO = Path(__file__).resolve().parents[2]
 
 ARGS = [

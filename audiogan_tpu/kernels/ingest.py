@@ -1,0 +1,123 @@
+"""Fused framed mu-law ingest as ONE Pallas pass (SURVEY layer A1, last
+listed kernel: "framed mu-law ingest"; VERDICT r1 item 10).
+
+Reference equivalent: the host-side Dataset.__getitem__ chain
+(crop -> normalize -> mu-law) [B:5]. The XLA path (ops/ingest.py) already
+fuses these elementwise stages into the train step; this kernel collapses
+the whole post-resample tail — per-example random crop, int16->f32 cast,
+peak/RMS amplitude normalization, and mu-law companding — into a single
+VMEM-resident pass: each raw int16 row crosses HBM exactly once and only
+clip_len f32 samples are written back.
+
+Design notes (v5e, found compiling on real hardware 2026-08-17):
+* Per-example crop offsets are data (PRNG-derived), so they ride the
+  scalar-prefetch channel (PrefetchScalarGridSpec) into SMEM.
+* The crop itself CANNOT be a dynamic slice: Mosaic's TC lowering
+  implements neither `dynamic_slice` on vectors nor sub-(8,128)-aligned
+  `memref_slice` on tiled HBM refs (both rejected by the compiler, and
+  crop offsets are arbitrary integers). The supported primitive for
+  arbitrary dynamic lane displacement is the dynamic rotate —
+  `pltpu.roll` — so each row is rotated left by its offset and the crop
+  becomes a STATIC [:clip_len] slice.
+* Normalization needs a full-clip reduction before the scale, so each grid
+  step owns whole rows; reduce + scale + compand run vectorized over the
+  [rows_blk, clip_len] block.
+* No AD rules: ingest feeds the data side only; the GP differentiates with
+  respect to the interpolated x-hat, never through the ingest of `raw`.
+
+Fallback contract: geometry the kernel does not cover (store < clip, i.e.
+pad-needed; non-identity resample) routes to the pure-XLA ops — same
+contract as kernels/conv.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False  # flipped by tests on CPU
+
+# VMEM budget per grid step (bytes): i16 store rows + f32 crop + f32 out,
+# double-buffered by the pipeline => stay well under the ~16 MB/core.
+_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def _rows_blk(batch: int, store_len: int, clip_len: int) -> int:
+    per_row = store_len * (2 + 4) + clip_len * 4 * 2
+    cap = max(1, _VMEM_BUDGET // (2 * per_row))
+    rb = min(batch, 8, cap)
+    while batch % rb:
+        rb -= 1
+    return rb
+
+
+def _kernel(offs_ref, x_ref, o_ref, *, rows_blk, clip_len, mode, target,
+            mu, eps):
+    gb = pl.program_id(0)
+    # cast the whole block up front: Mosaic's dynamic rotate wants 32-bit
+    # lanes (vector<...xi16> rotate fails to lower), and the cast is one
+    # VPU pass either way
+    xf = x_ref[...].astype(jnp.float32) * (1.0 / 32768.0)
+    rows = []
+    for i in range(rows_blk):  # static unroll over the block's rows
+        off = offs_ref[gb * rows_blk + i]
+        # rotate left by off => wanted window sits at [:clip_len] (static)
+        row = pltpu.roll(xf[i:i + 1, :], -off, 1)
+        rows.append(row[:, :clip_len])
+    x = jnp.concatenate(rows, axis=0)
+
+    if mode == "peak":
+        scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    elif mode == "rms":
+        scale = jnp.sqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True))
+    else:
+        scale = None
+    if scale is not None:
+        x = x * (target / jnp.maximum(scale, eps))
+    if mu:
+        # log1p(mu) is a Python constant — folded at trace time
+        x = jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / np.log1p(mu)
+    o_ref[...] = x
+
+
+def ingest_fused(
+    raw: jnp.ndarray,
+    offsets: jnp.ndarray,
+    clip_len: int,
+    mode: str = "peak",
+    target: float = 0.999,
+    mu: float = 255.0,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """int16 [B, S] + crop offsets [B] -> companded f32 [B, clip_len].
+
+    One Pallas pass: crop @ offsets[b] (dynamic lane rotate + static
+    slice), /32768 cast, `mode` amplitude normalization to `target`,
+    mu-law compand (mu=0/None disables). Requires S >= clip_len (no-pad
+    geometry; ops/ingest.py guards).
+    """
+    b, s = raw.shape
+    assert s >= clip_len, (s, clip_len)
+    rb = _rows_blk(b, s, clip_len)
+    mu = float(mu) if mu else 0.0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // rb,),
+        in_specs=[pl.BlockSpec((rb, s), lambda gb, offs: (gb, 0))],
+        out_specs=pl.BlockSpec((rb, clip_len), lambda gb, offs: (gb, 0)),
+    )
+    kernel = functools.partial(
+        _kernel, rows_blk=rb, clip_len=clip_len, mode=mode,
+        target=float(target), mu=mu, eps=float(eps))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, clip_len), jnp.float32),
+        interpret=_INTERPRET,
+    )(offsets.astype(jnp.int32), raw)

@@ -20,12 +20,19 @@ def _pad_to(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
     return jnp.pad(x, pad)
 
 
+def crop_offsets(key: jax.Array, batch: int, max_off: int) -> jnp.ndarray:
+    """The per-example crop-start draw — factored so the fused Pallas ingest
+    (kernels/ingest.py) consumes the SAME offsets as this XLA path and the
+    two are bit-comparable."""
+    return jax.random.randint(key, (batch,), 0, max_off + 1)
+
+
 def random_crop(x: jnp.ndarray, key: jax.Array, out_len: int) -> jnp.ndarray:
     """Per-example random crop of [B, T] -> [B, out_len] (zero-pad if short)."""
     x = _pad_to(x, out_len)
     b, t = x.shape
     max_off = t - out_len  # static, >= 0
-    offs = jax.random.randint(key, (b,), 0, max_off + 1)
+    offs = crop_offsets(key, b, max_off)
 
     def crop_one(clip, off):
         return lax.dynamic_slice(clip, (off,), (out_len,))

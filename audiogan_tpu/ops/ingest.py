@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from audiogan_tpu.config import DataCfg
-from audiogan_tpu.ops.framing import center_crop, random_crop
+from audiogan_tpu.ops.framing import center_crop, crop_offsets, random_crop
 from audiogan_tpu.ops.mulaw import mu_law_compand
 from audiogan_tpu.ops.normalize import normalize_amplitude
 from audiogan_tpu.ops.resample import resample_poly
@@ -32,11 +32,29 @@ def ingest_batch(
     raw: jnp.ndarray,
     cfg: DataCfg,
     key: jax.Array | None = None,
+    kernels: str = "xla",
 ) -> jnp.ndarray:
     """raw int16 [B, store_len] -> float32 [B, clip_len], fully on device.
 
     `key=None` selects the deterministic eval path (center crop).
+    `kernels="pallas"` routes the post-resample tail (crop + cast +
+    normalize + mu-law) through the single-pass Pallas kernel
+    (kernels/ingest.py) when the geometry allows: training path (random
+    crop), identity resample, int16 input, store >= clip. Both paths draw
+    crop starts from ops.framing.crop_offsets, so they agree exactly.
     """
+    if (kernels == "pallas" and key is not None
+            and cfg.sample_rate == cfg.source_rate
+            and raw.dtype == jnp.int16
+            and raw.shape[-1] >= cfg.clip_len
+            and cfg.normalize in ("peak", "rms")):
+        from audiogan_tpu.kernels.ingest import ingest_fused
+
+        b, s = raw.shape
+        offs = crop_offsets(key, b, s - cfg.clip_len)
+        return ingest_fused(raw, offs, cfg.clip_len, cfg.normalize,
+                            cfg.norm_target, cfg.mu if cfg.mu_law else 0.0)
+
     x = raw.astype(jnp.float32) / 32768.0
     x = resample_poly(
         x, cfg.sample_rate, cfg.source_rate,

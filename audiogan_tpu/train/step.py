@@ -107,7 +107,8 @@ def build_train_step(cfg: Config, axis_name: str | None = None
         k = jax.random.fold_in(step_key, idx)
         k_crop, k_z, k_eps, k_lab, k_s1, k_s2, k_s3 = jax.random.split(k, 7)
 
-        real = ingest_batch(raw, cfg.data, k_crop)[..., None]   # [B, T, 1]
+        real = ingest_batch(raw, cfg.data, k_crop,
+                            kernels=cfg.train.kernels)[..., None]  # [B, T, 1]
         b = real.shape[0]
         labels_fake = sample_labels(k_lab, b)
         z = jax.random.normal(k_z, (b, latent_dim))
@@ -159,7 +160,8 @@ def build_train_step(cfg: Config, axis_name: str | None = None
         labels_g = sample_labels(k_lab, b)
 
         if stft_w > 0:
-            real_g = ingest_batch(raw[n_critic], cfg.data, k_crop)
+            real_g = ingest_batch(raw[n_critic], cfg.data, k_crop,
+                                  kernels=cfg.train.kernels)
 
         def g_loss_fn(p):
             z = jax.random.normal(k_z, (b, latent_dim))

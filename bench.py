@@ -137,6 +137,9 @@ def bench_one(preset: str, dtype: str, kernels: str | None, steps: int,
 
 
 def main():
+    from audiogan_tpu.utils.xla_cache import enable_compilation_cache
+    enable_compilation_cache()  # pallas-step TPU compiles take minutes cold
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="wgan_gp_b64",
                     help="preset name, or 'all' for one JSON line per "

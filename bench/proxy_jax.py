@@ -54,8 +54,10 @@ def build(d=64, latent=100, max_ch=1024, clip=16384, shuffle=2):
         h = jax.nn.relu(z @ p["g_fc"]).reshape(z.shape[0], 16, g_chs[0])
         n = len(g_chs) - 1
         for i in range(n):
+            # SAME-length convT: dilated len = 4t-3, out = dilated + lo +
+            # hi - (k-1) = 4t needs lo + hi = 27
             h = lax.conv_general_dilated(
-                h, p[f"g_c{i}"], window_strides=(1,), padding=[(12, 12)],
+                h, p[f"g_c{i}"], window_strides=(1,), padding=[(13, 14)],
                 lhs_dilation=(4,), dimension_numbers=("NWC", "WIO", "NWC"))
             h = jnp.tanh(h) if i == n - 1 else jax.nn.relu(h)
         return h

@@ -1,0 +1,73 @@
+"""dp=16 witness for the music_44k_dp16 preset mesh ([B:11]; VERDICT r1 #5).
+
+The CI suite's farm is pinned to 8 virtual devices (tests/conftest.py), so
+the 16-way mesh the preset pins is exercised here instead: provision a
+16-device virtual CPU farm (same recipe as __graft_entry__.dryrun_multichip),
+build the REAL music preset config — full (7,7,5,5,3) stride stack, dp=16
+mesh — with only clip_len scaled down so one step runs in seconds on CPU,
+and run one full WGAN-GP step. Records its result line in BASELINE.md.
+
+Run: python scripts/dp16_dryrun.py
+"""
+
+import dataclasses
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from __graft_entry__ import _provision_cpu_farm  # noqa: E402
+
+
+def main():
+    jax = _provision_cpu_farm(16)
+    import numpy as np
+
+    from audiogan_tpu.config import DataCfg, LossCfg, TrainCfg, get_preset
+    from audiogan_tpu.parallel.mesh import (batch_sharding, label_sharding,
+                                            make_mesh, state_shardings)
+    from audiogan_tpu.train.state import create_train_state
+    from audiogan_tpu.train.step import build_train_step, num_views
+
+    cfg = get_preset("music_44k_dp16")
+    assert cfg.mesh.dp == 16
+    # full stride stack must divide clip_len: one chunk of 4x total_stride
+    chunk = cfg.model.total_stride * 4
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, clip_len=chunk,
+                                 store_len=chunk + chunk // 4),
+        model=dataclasses.replace(cfg.model, model_dim=4, max_channels=16),
+        loss=dataclasses.replace(cfg.loss, n_critic=2),
+        train=TrainCfg(batch_size=2 * 16),
+    ).validate()
+    print(f"mesh dp={cfg.mesh.dp} cp={cfg.mesh.cp}, strides "
+          f"{cfg.model.strides}, clip {cfg.data.clip_len}, "
+          f"batch {cfg.train.batch_size} over {len(jax.devices())} devices")
+
+    mesh = make_mesh(cfg)
+    state = create_train_state(cfg)
+    state = jax.device_put(state, state_shardings(mesh, state))
+
+    rng = np.random.default_rng(0)
+    n = num_views(cfg)
+    clips = (rng.standard_normal((n, cfg.train.batch_size,
+                                  cfg.data.store_len)) * 8000
+             ).clip(-32768, 32767).astype(np.int16)
+    labels = np.zeros((n, cfg.train.batch_size), np.int32)
+    clips = jax.device_put(clips, batch_sharding(mesh))
+    labels = jax.device_put(labels, label_sharding(mesh))
+
+    step = jax.jit(build_train_step(cfg), donate_argnums=(0,))
+    state, metrics = step(state, clips, labels)
+    jax.block_until_ready(metrics)
+    m = {k: float(v) for k, v in metrics.items()}
+    assert int(state.step) == 1
+    assert all(np.isfinite(v) for v in m.values()), m
+    print("dp16 music-geometry step: ok —",
+          {k: round(v, 4) for k, v in m.items()})
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -102,6 +102,22 @@ def main():
           f"(compiled, default precision): max-norm rel={rel:.3f}")
     ok &= ok2
 
+    # fused ingest (flagship wgan_gp_b64 shapes: store 24000 -> clip 16384)
+    from audiogan_tpu.config import DataCfg
+    from audiogan_tpu.ops.ingest import ingest_batch
+    braw = jnp.asarray((rng.standard_normal((64, 24000)) * 9000)
+                       .clip(-32768, 32767).astype(np.int16))
+    dcfg = DataCfg(clip_len=16384, store_len=24000)
+    key = jax.random.key(5)
+    got = jax.jit(lambda r: ingest_batch(r, dcfg, key, kernels="pallas"))(braw)
+    want = jax.jit(lambda r: ingest_batch(r, dcfg, key, kernels="xla"))(braw)
+    ok &= check("ingest_fused 64x24000->16384", got, want, atol=1e-5)
+    tp = timeit("pallas", lambda r: ingest_batch(r, dcfg, key,
+                                                 kernels="pallas"), braw)
+    tx = timeit("xla   ", lambda r: ingest_batch(r, dcfg, key,
+                                                 kernels="xla"), braw)
+    print(f"     speedup: {tx / tp:.2f}x")
+
     # GRU cell (cond_gru_sc09 shapes)
     xg, hg = r(64, 1024), r(64, 512)
     wi, wh = r(1024, 1536) * 0.05, r(512, 1536) * 0.05

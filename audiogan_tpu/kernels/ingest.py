@@ -47,6 +47,10 @@ _INTERPRET = False  # flipped by tests on CPU
 _VMEM_BUDGET = 6 * 1024 * 1024
 
 
+def _round_up(a: int, m: int) -> int:
+    return -(-a // m) * m
+
+
 def _rows_blk(batch: int, store_len: int, clip_len: int) -> int:
     per_row = store_len * (2 + 4) + clip_len * 4 * 2
     cap = max(1, _VMEM_BUDGET // (2 * per_row))
@@ -57,24 +61,34 @@ def _rows_blk(batch: int, store_len: int, clip_len: int) -> int:
 
 
 def _kernel(offs_ref, x_ref, o_ref, *, rows_blk, clip_len, mode, target,
-            mu, eps):
+            mu, eps, valid_len):
     gb = pl.program_id(0)
     # cast the whole block up front: Mosaic's dynamic rotate wants 32-bit
     # lanes (vector<...xi16> rotate fails to lower), and the cast is one
     # VPU pass either way
     xf = x_ref[...].astype(jnp.float32) * (1.0 / 32768.0)
+    n = xf.shape[-1]
     rows = []
     for i in range(rows_blk):  # static unroll over the block's rows
         off = offs_ref[gb * rows_blk + i]
-        # rotate left by off => wanted window sits at [:clip_len] (static)
-        row = pltpu.roll(xf[i:i + 1, :], -off, 1)
+        # rotate left by off => wanted window sits at [:clip_len] (static).
+        # Expressed as a POSITIVE right-rotation by n-off: hardware
+        # dynamic_rotate mishandles negative shifts (wrong values on HW
+        # 2026-08-17; interpret mode accepted both signs).
+        row = pltpu.roll(xf[i:i + 1, :], n - off, 1)
         rows.append(row[:, :clip_len])
     x = jnp.concatenate(rows, axis=0)
+    if valid_len != clip_len:
+        # lane-alignment pad (ingest_fused): zero the tail so reductions
+        # see only the true crop; the caller slices it off the output
+        mask = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) < valid_len
+        x = jnp.where(mask, x, 0.0)
 
     if mode == "peak":
         scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     elif mode == "rms":
-        scale = jnp.sqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True))
+        scale = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1,
+                                 keepdims=True) / valid_len)
     else:
         scale = None
     if scale is not None:
@@ -103,21 +117,33 @@ def ingest_fused(
     """
     b, s = raw.shape
     assert s >= clip_len, (s, clip_len)
-    rb = _rows_blk(b, s, clip_len)
     mu = float(mu) if mu else 0.0
+
+    # Mosaic's dynamic rotate requires the rotated (lane) dim be 128-aligned
+    # ("unsupported unaligned shape" on vector<1x24000xf32>, found on HW
+    # 2026-08-17). Pad rows to the next lane multiple: the rotate-left
+    # window [0, clip_len) only ever reads x[off : off + clip_len] with
+    # off + clip_len <= s, so the appended zeros never enter the crop.
+    # Same for the output lanes; the caller-visible slice drops the pad.
+    s_pad = _round_up(s, 128)
+    clip_pad = _round_up(clip_len, 128)
+    if s_pad != s:
+        raw = jnp.pad(raw, ((0, 0), (0, s_pad - s)))
+    rb = _rows_blk(b, s_pad, clip_pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b // rb,),
-        in_specs=[pl.BlockSpec((rb, s), lambda gb, offs: (gb, 0))],
-        out_specs=pl.BlockSpec((rb, clip_len), lambda gb, offs: (gb, 0)),
+        in_specs=[pl.BlockSpec((rb, s_pad), lambda gb, offs: (gb, 0))],
+        out_specs=pl.BlockSpec((rb, clip_pad), lambda gb, offs: (gb, 0)),
     )
     kernel = functools.partial(
-        _kernel, rows_blk=rb, clip_len=clip_len, mode=mode,
-        target=float(target), mu=mu, eps=float(eps))
-    return pl.pallas_call(
+        _kernel, rows_blk=rb, clip_len=clip_pad, mode=mode,
+        target=float(target), mu=mu, eps=float(eps), valid_len=clip_len)
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, clip_len), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, clip_pad), jnp.float32),
         interpret=_INTERPRET,
     )(offsets.astype(jnp.int32), raw)
+    return out[:, :clip_len]

@@ -123,6 +123,9 @@ def train_steps(n_steps=2, batch=64, n_critic=5, clip=16384, d=64):
             gd = jax.grad(d_loss_fn)(pd)        # eager: re-traced every call
             upd, od = opt.update(gd, od, pd)
             pd = jax.tree.map(lambda a, b: a + b, pd, upd)
+            jax.block_until_ready(pd)
+            print(f"  step {s} critic {c}: {time.time() - t0:.1f}s in",
+                  flush=True)
         key, kz, ks = jax.random.split(key, 3)
         z = jax.random.normal(kz, (batch, 100))
         gg = jax.grad(lambda p: -jnp.mean(d_fwd(pd, g_fwd(p, z), ks)))(pg)

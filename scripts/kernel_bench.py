@@ -10,7 +10,11 @@ axon — see BASELINE.md). Run:
 from __future__ import annotations
 
 import argparse
+import sys
 import time
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp

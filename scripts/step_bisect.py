@@ -7,7 +7,11 @@ Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/step_bisect.py
 
 from __future__ import annotations
 
+import sys
 import time
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import numpy as np

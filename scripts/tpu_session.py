@@ -86,7 +86,14 @@ def s_kernels():
 
 
 def _bench(kernels):
-    import bench as bench_mod
+    # `import bench` resolves to the bench/ PACKAGE, not bench.py — load
+    # the script module explicitly by path
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_script",
+        pathlib.Path(__file__).resolve().parents[1] / "bench.py")
+    bench_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_mod)
     proxy = bench_mod.load_proxy("torch-cpu-eager")
     row = bench_mod.bench_one("wgan_gp_b64", "bfloat16", kernels, 10, proxy)
     print(json.dumps(row), flush=True)

@@ -76,6 +76,28 @@ def test_offsets_shared_between_paths(rng):
     assert ((np.asarray(offs) >= 0) & (np.asarray(offs) <= 100)).all()
 
 
+def test_unaligned_lengths(rng):
+    """store/clip that are NOT lane multiples exercise the alignment pad +
+    reduction mask (Mosaic's rotate needs 128-aligned lanes)."""
+    b, s, clip = 3, 500, 300
+    raw = _raw(rng, b, s)
+    offs = jnp.asarray(rng.integers(0, s - clip + 1, size=b), jnp.int32)
+    for mode in ("peak", "rms"):
+        got = ingest_fused(raw, offs, clip, mode, 0.999, 255.0)
+        x = raw.astype(jnp.float32) / 32768.0
+        want = jax.vmap(
+            lambda row, o: jax.lax.dynamic_slice(row, (o,), (clip,)))(x, offs)
+        if mode == "peak":
+            sc = jnp.max(jnp.abs(want), axis=-1, keepdims=True)
+        else:
+            sc = jnp.sqrt(jnp.mean(jnp.square(want), axis=-1, keepdims=True))
+        want = want * (0.999 / jnp.maximum(sc, 1e-8))
+        want = (jnp.sign(want) * jnp.log1p(255.0 * jnp.abs(want))
+                / np.log1p(255.0))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6, rtol=1e-6)
+
+
 def test_rows_blocking_divides_batch(rng):
     """Odd batch sizes must still split the grid evenly."""
     cfg = DataCfg(clip_len=384, store_len=500)

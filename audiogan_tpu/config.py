@@ -95,6 +95,11 @@ class TrainCfg:
     seed: int = 0
     remat_discriminator: bool = True   # checkpoint D fwd inside the n_critic scan
     kernels: str = "xla"            # xla | pallas — A1 fast path selector
+    # optional per-net overrides ("" inherits `kernels`): the measured
+    # optimum on this chip is G=pallas, D=xla (scripts/step_bisect.py;
+    # BASELINE.md round 2)
+    kernels_g: str = ""
+    kernels_d: str = ""
     dtype: str = "float32"          # compute dtype for conv stacks
     # observability (SURVEY §5): xplane trace window, optimized-HLO dump of
     # the single train-step graph, NaN debugging
@@ -141,6 +146,11 @@ class Config:
                 f"clip_len ({d.clip_len}); increase store_len")
         if self.train.batch_size % self.mesh.dp != 0:
             raise ValueError("batch_size must be divisible by mesh.dp")
+        for f in ("kernels", "kernels_g", "kernels_d"):
+            v = getattr(self.train, f)
+            if v not in (("xla", "pallas") if f == "kernels"
+                         else ("", "xla", "pallas")):
+                raise ValueError(f"train.{f}={v!r} not in xla|pallas")
         if d.clip_len % self.mesh.cp != 0:
             raise ValueError("clip_len must be divisible by mesh.cp")
         if self.mesh.cp > 1:

@@ -16,20 +16,21 @@ _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 def build_generator(cfg: Config) -> nn.Module:
     m, d = cfg.model, cfg.data
     dtype = _DTYPES[cfg.train.dtype]
+    kernels = cfg.train.kernels_g or cfg.train.kernels
     if m.generator == "wavegan":
         return WaveGANGenerator(
             clip_len=d.clip_len, latent_dim=m.latent_dim,
             model_dim=m.model_dim, kernel_size=m.kernel_size,
             strides=m.strides, num_classes=d.num_classes,
             embed_dim=m.embed_dim, max_channels=m.max_channels,
-            kernels=cfg.train.kernels, dtype=dtype)
+            kernels=kernels, dtype=dtype)
     if m.generator == "gru":
         return GRUGenerator(
             clip_len=d.clip_len, latent_dim=m.latent_dim,
             model_dim=m.model_dim, hidden=m.gru_hidden,
             frame_size=m.gru_frame_size, kernel_size=m.kernel_size,
             num_classes=d.num_classes, embed_dim=m.embed_dim,
-            kernels=cfg.train.kernels, dtype=dtype)
+            kernels=kernels, dtype=dtype)
     raise ValueError(f"unknown generator {m.generator!r}")
 
 
@@ -39,7 +40,8 @@ def build_discriminator(cfg: Config) -> nn.Module:
     common = dict(model_dim=m.model_dim, kernel_size=m.kernel_size,
                   strides=m.strides, phase_shuffle_rad=m.phase_shuffle,
                   num_classes=d.num_classes, embed_dim=m.embed_dim,
-                  max_channels=m.max_channels, kernels=cfg.train.kernels,
+                  max_channels=m.max_channels,
+                  kernels=cfg.train.kernels_d or cfg.train.kernels,
                   dtype=dtype)
     if m.use_stft_critic:
         return DualDiscriminator(stft_resolution=m.stft_resolutions[0],

@@ -136,6 +136,63 @@ def bench_one(preset: str, dtype: str, kernels: str | None, steps: int,
     }
 
 
+TIERS = {
+    "xla": ["train.kernels=xla"],
+    "pallas": ["train.kernels=pallas"],
+    "mixed": ["train.kernels=xla", "train.kernels_g=pallas",
+              "train.kernels_d=xla"],
+}
+
+
+def bench_compare(preset: str, dtype: str, rounds: int = 3, steps: int = 6):
+    """Interleaved in-process A/B/C of the kernel tiers: the chip's
+    throttle drifts across minutes (observed 3.1-5.0 steps/s for the SAME
+    graph in different claim windows, BASELINE.md), so only interleaved
+    same-process rounds are comparable. Reports per-tier MEDIAN."""
+    import statistics
+    import time as _t
+
+    import jax
+    import numpy as np
+
+    from audiogan_tpu.cli import apply_overrides
+    from audiogan_tpu.config import get_preset
+    from audiogan_tpu.train.state import create_train_state
+    from audiogan_tpu.train.step import build_train_step, num_views
+
+    runs = {}
+    for label, ovr in TIERS.items():
+        cfg = apply_overrides(get_preset(preset),
+                              [f"train.dtype={dtype}"] + list(ovr))
+        state = create_train_state(cfg)
+        step = jax.jit(build_train_step(cfg), donate_argnums=(0,))
+        rng = np.random.default_rng(0)
+        n = num_views(cfg)
+        clips = (rng.standard_normal(
+            (n, cfg.train.batch_size, cfg.data.store_len)) * 8000
+        ).clip(-32768, 32767).astype(np.int16)
+        labels = rng.integers(0, max(cfg.data.num_classes, 1),
+                              size=(n, cfg.train.batch_size)).astype(np.int32)
+        state, metrics = step(state, clips, labels)     # compile + warm
+        state, metrics = step(state, clips, labels)
+        float(metrics["d_loss"])
+        runs[label] = [step, state, clips, labels, []]
+
+    for _ in range(rounds):
+        for label, rec in runs.items():
+            step, state, clips, labels, times = rec
+            t0 = _t.perf_counter()
+            for _ in range(steps):
+                state, metrics = step(state, clips, labels)
+            float(metrics["d_loss"])                    # host-fetch sync
+            times.append(steps / (_t.perf_counter() - t0))
+            rec[1] = state
+    return {label: {"median_steps_per_sec": round(
+                        statistics.median(rec[4]), 4),
+                    "rounds": [round(x, 4) for x in rec[4]]}
+            for label, rec in runs.items()}
+
+
 def main():
     from audiogan_tpu.utils.xla_cache import enable_compilation_cache
     enable_compilation_cache()  # pallas-step TPU compiles take minutes cold
@@ -159,7 +216,17 @@ def main():
     ap.add_argument("--measure_proxy", action="store_true",
                     help="re-measure the chosen proxy now (slow: minutes "
                          "per step on CPU) and record it")
+    ap.add_argument("--compare", action="store_true",
+                    help="interleaved in-process xla/pallas/mixed tier "
+                         "comparison (throttle-drift-fair; one JSON line)")
     args = ap.parse_args()
+
+    if args.compare:
+        print(json.dumps({"metric": "tier_compare",
+                          "preset": args.preset,
+                          **bench_compare(args.preset, args.dtype)}),
+              flush=True)
+        return
 
     if args.measure_proxy:
         mod = {"torch-cpu-eager": "bench.proxy_torch",

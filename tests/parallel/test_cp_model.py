@@ -138,8 +138,11 @@ def test_wgan_gp_grads_through_cp_critic_match():
         gp, _ = gradient_penalty(d_apply, x, fake, jax.random.key(7))
         return wgan_d_loss(d_apply(x), d_apply(fake)) + 10.0 * gp
 
-    v1, g1 = jax.value_and_grad(loss_unsharded)(params)
-    v2, g2 = jax.value_and_grad(loss_cp)(params)
+    # jit both: eager grad-of-grad through shard_map re-dispatches every
+    # ppermute piece per call (~200 s); compiled it's seconds and the
+    # persistent cache keeps re-runs warm
+    v1, g1 = jax.jit(jax.value_and_grad(loss_unsharded))(params)
+    v2, g2 = jax.jit(jax.value_and_grad(loss_cp))(params)
     np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),

@@ -87,12 +87,17 @@ def bench_sample(cfg, n_warmup=2, n_iters=10, num=64):
     state = create_train_state(cfg)
     fn = build_sample_fn(cfg)
     key = jax.random.key(0)
+    labels = None
+    if cfg.data.num_classes:
+        import jax.numpy as jnp
+        labels = jnp.arange(num, dtype=jnp.int32) % cfg.data.num_classes
     for i in range(n_warmup):
-        out = fn(state.params_g, jax.random.fold_in(key, i), num=num)
+        out = fn(state.params_g, jax.random.fold_in(key, i), labels, num=num)
     float(out[0, 0])  # host fetch sync (see bench_train note)
     t0 = time.perf_counter()
     for i in range(n_iters):
-        out = fn(state.params_g, jax.random.fold_in(key, 100 + i), num=num)
+        out = fn(state.params_g, jax.random.fold_in(key, 100 + i), labels,
+                 num=num)
     float(out[0, 0])  # device queue is serial, so this syncs all iters
     dt = time.perf_counter() - t0
     audio_sec = n_iters * num * cfg.data.clip_len / cfg.data.sample_rate
@@ -112,7 +117,10 @@ def bench_one(preset: str, dtype: str, kernels: str | None, steps: int,
     cfg = get_preset(preset)
     cfg = apply_overrides(cfg, [f"train.dtype={dtype}"])
     if kernels:
-        cfg = apply_overrides(cfg, [f"train.kernels={kernels}"])
+        # explicit tier: also clear per-net overrides so --kernels xla is
+        # PURE xla even on presets whose default is the mixed tier
+        cfg = apply_overrides(cfg, [f"train.kernels={kernels}",
+                                    "train.kernels_g=", "train.kernels_d="])
     if cfg.mesh.dp * cfg.mesh.cp > 1:
         # bench runs on the ONE real chip; preset meshes (music_44k_dp16)
         # are exercised on the virtual CPU farm by tests/parallel instead
@@ -131,6 +139,8 @@ def bench_one(preset: str, dtype: str, kernels: str | None, steps: int,
         "batch": cfg.train.batch_size,
         "n_critic": cfg.loss.n_critic,
         "kernels": cfg.train.kernels,
+        "kernels_g": cfg.train.kernels_g or cfg.train.kernels,
+        "kernels_d": cfg.train.kernels_d or cfg.train.kernels,
         "dtype": cfg.train.dtype,
         "proxy_steps_per_sec": round(proxy, 5),
     }

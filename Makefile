@@ -21,6 +21,12 @@ bench-pallas:    ## same, through the Pallas kernel path
 tpu-kernels:     ## compiled Pallas kernel validation on the real TPU
 	python tests_tpu/run_pallas_tpu.py
 
+tpu-session:     ## every on-HW check in ONE chip claim (see skills/verify)
+	python scripts/tpu_session.py
+
+tpu-compare:     ## throttle-fair interleaved xla/pallas/mixed step compare
+	python bench.py --compare
+
 tpu-fidelity:    ## on-hardware fidelity witness vs CPU goldens ([B:5])
 	python tests_tpu/run_fidelity_tpu.py
 

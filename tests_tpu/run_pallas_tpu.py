@@ -4,7 +4,11 @@ Compiled (not interpreted) equivalence of the Pallas conv/GRU kernels vs the
 XLA path on the real TPU chip, plus a microbenchmark of each kernel.
 """
 
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp

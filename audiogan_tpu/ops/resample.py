@@ -68,6 +68,13 @@ def resample_poly(
     Identity rates return x unchanged (the common SC09 16k->16k path costs
     nothing). Output length = ceil(T * up / down), phase-aligned with
     scipy.signal.resample_poly (output[0] is the filter centered on x[0]).
+
+    No Pallas fast path BY POLICY: the polyphase conv here has cin=1, and
+    kernels/conv.py routes any layer with min(cin, cout) < MIN_CH to XLA —
+    padding one channel to the 128-lane MXU tile would multiply the FLOPs
+    128x for a memory-bound op XLA already fuses into the ingest graph.
+    The A1 ingest tier instead fuses the post-resample tail
+    (kernels/ingest.py).
     """
     up, down = _rational(target_rate, source_rate)
     if up == 1 and down == 1:

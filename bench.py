@@ -197,10 +197,21 @@ def bench_compare(preset: str, dtype: str, rounds: int = 3, steps: int = 6):
             float(metrics["d_loss"])                    # host-fetch sync
             times.append(steps / (_t.perf_counter() - t0))
             rec[1] = state
-    return {label: {"median_steps_per_sec": round(
-                        statistics.median(rec[4]), 4),
-                    "rounds": [round(x, 4) for x in rec[4]]}
-            for label, rec in runs.items()}
+    out = {label: {"median_steps_per_sec": round(
+                       statistics.median(rec[4]), 4),
+                   "rounds": [round(x, 4) for x in rec[4]]}
+           for label, rec in runs.items()}
+    # within-round ratios vs xla: each round's tiers run adjacent in time,
+    # so the ratio cancels the slow throttle drift that makes raw medians
+    # across rounds incomparable
+    base = runs["xla"][4]
+    for label, rec in runs.items():
+        if label == "xla":
+            continue
+        ratios = [t / b for t, b in zip(rec[4], base)]
+        out[label]["median_ratio_vs_xla"] = round(
+            statistics.median(ratios), 4)
+    return out
 
 
 def main():

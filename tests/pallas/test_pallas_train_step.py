@@ -44,3 +44,24 @@ def test_train_step_pallas_matches_xla():
         assert np.isfinite(mp[k]), k
         np.testing.assert_allclose(mp[k], mx[k], rtol=2e-2, atol=2e-3,
                                    err_msg=k)
+
+
+def test_train_step_mixed_tier_matches_xla():
+    """train.kernels_g='pallas' with an xla critic (the measured-fastest
+    tier on HW, BASELINE.md) — the per-net override must produce the same
+    training math."""
+    cfg_m = dataclasses.replace(
+        _cfg("xla"),
+        train=dataclasses.replace(_cfg("xla").train, kernels_g="pallas"))
+    cfg_x = _cfg("xla")
+    state_m = create_train_state(cfg_m)
+    state_x = create_train_state(cfg_x)
+    step_m = jax.jit(build_train_step(cfg_m))
+    step_x = jax.jit(build_train_step(cfg_x))
+    clips, labels = raw_batch(cfg_m, seed=77)
+    state_m, mm = step_m(state_m, clips, labels)
+    state_x, mx = step_x(state_x, clips, labels)
+    mm, mx = jax.device_get(mm), jax.device_get(mx)
+    for k in mx:
+        np.testing.assert_allclose(mm[k], mx[k], rtol=2e-2, atol=2e-3,
+                                   err_msg=k)

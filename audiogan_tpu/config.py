@@ -229,13 +229,20 @@ def tiny_sc09() -> Config:
 
 
 def wgan_gp_b64() -> Config:
-    """[B:8] Flagship: WGAN-GP + phase shuffle, batch 64, fused ingest."""
+    """[B:8] Flagship: WGAN-GP + phase shuffle, batch 64, fused ingest.
+
+    Default kernel tier is MIXED — G on the Pallas polyphase convT kernels
+    (they beat XLA's lowering: within-round ratio 1.02, stable across 9
+    interleaved rounds, BASELINE.md 2026-08-17), D on XLA (the GP
+    double-backprop composition is faster there). Override with
+    --kernels xla|pallas for a uniform tier.
+    """
     return Config(
         name="wgan_gp_b64",
         data=DataCfg(num_classes=0),
         model=ModelCfg(generator="wavegan", model_dim=64),
         loss=LossCfg(n_critic=5),
-        train=TrainCfg(batch_size=64),
+        train=TrainCfg(batch_size=64, kernels_g="pallas"),
     ).validate()
 
 

@@ -188,8 +188,15 @@ def bench_compare(preset: str, dtype: str, rounds: int = 3, steps: int = 6):
         float(metrics["d_loss"])
         runs[label] = [step, state, clips, labels, []]
 
-    for _ in range(rounds):
-        for label, rec in runs.items():
+    labels_order = list(runs)
+    for r in range(rounds):
+        # rotate the tier order each round: throughput decays on a
+        # seconds scale, so a fixed order systematically biases the
+        # within-round ratios against later tiers
+        order = labels_order[r % len(labels_order):] + \
+            labels_order[:r % len(labels_order)]
+        for label in order:
+            rec = runs[label]
             step, state, clips, labels, times = rec
             t0 = _t.perf_counter()
             for _ in range(steps):

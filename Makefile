@@ -3,7 +3,7 @@
 .PHONY: test test-all native bench bench-pallas tpu-kernels tpu-fidelity \
         proxy clean
 
-test:            ## CPU suite minus @slow (budget <5 min warm; VERDICT r1 #7)
+test:            ## CPU suite minus @slow (164 tests, 3m29s warm, 2026-08-17)
 	PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q -m "not slow"
 
 test-all:        ## the whole suite including the slow subprocess tests

@@ -174,13 +174,30 @@ def _rowconv_call(x_rows, w_taps, *, b, n_t, t_tile, q_taps, n_ci, n_co,
 # strided conv1d
 # ---------------------------------------------------------------------------
 
+def _in_ch_blocks(c: int, s: int, blk_cap: int = 256) -> tuple[int, int]:
+    """(c_padded, blk) for a channel dim whose lanes appear as s*c: the
+    Mosaic constraint is s*c_padded % 128 == 0, NOT c_padded % 128 — e.g.
+    cin=64 at stride 4 needs NO padding (4*64=256 lanes), where rounding
+    cin to 128 doubled every DMA byte of the widest-T layer (measured 34%
+    kernel slowdown, 2026-08-17)."""
+    import math
+    align = 128 // math.gcd(s, 128)
+    c_p = _round_up(c, align)
+    if c_p <= blk_cap:
+        return c_p, c_p
+    c_p = _round_up(c_p, blk_cap)
+    return c_p, blk_cap
+
+
 def _conv1d_pallas(x: jnp.ndarray, w: jnp.ndarray, s: int,
                    pad_lo: int, pad_hi: int, t_out: int) -> jnp.ndarray:
     b, t_in, cin = x.shape
     k, _, cout = w.shape
-    cin_p, cout_p = _round_up(cin, 128), _round_up(cout, 128)
+    cin_p, cin_blk = _in_ch_blocks(cin, s)
+    cout_p = _round_up(cout, 128)
+    if cout_p > 256:
+        cout_p = _round_up(cout_p, 256)
     q_taps = _cdiv(k, s)
-    cin_blk = min(cin_p, 256)
     cout_blk = min(cout_p, 256)
     n_ci, n_co = cin_p // cin_blk, cout_p // cout_blk
     t_tile = min(_round_up(t_out, 16), 512)
@@ -224,9 +241,14 @@ def _convt_pallas(x, w, s, pad_lo, out_len):
     k, _, cout = w.shape
     assert out_len % s == 0, "conv_transpose output must be stride-aligned"
     m_out = out_len // s                                # output phase-rows
-    cin_p, cout_p = _round_up(cin, 128), _round_up(cout, 128)
+    cin_p = _round_up(cin, 128)                 # lanes_in = cin_blk alone
+    if cin_p > 256:
+        cin_p = _round_up(cin_p, 256)
     cin_blk = min(cin_p, 256)
-    cout_blk = min(cout_p, max(1024 // s // 128, 1) * 128)
+    # cout appears as s*cout lanes => only s*cout_p must be 128-aligned
+    # (see _in_ch_blocks): cout=64 at s=4 stays unpadded
+    cout_p, cout_blk = _in_ch_blocks(
+        cout, s, blk_cap=max(1024 // s // 128, 1) * 128)
     n_ci, n_co = cin_p // cin_blk, cout_p // cout_blk
     lanes_out = s * cout_blk
     t_tile = min(_round_up(m_out, 16), 512)

@@ -40,6 +40,7 @@ would multiply the layer's FLOPs 128x.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any
 
 import jax
@@ -180,7 +181,6 @@ def _in_ch_blocks(c: int, s: int, blk_cap: int = 256) -> tuple[int, int]:
     cin=64 at stride 4 needs NO padding (4*64=256 lanes), where rounding
     cin to 128 doubled every DMA byte of the widest-T layer (measured 34%
     kernel slowdown, 2026-08-17)."""
-    import math
     align = 128 // math.gcd(s, 128)
     c_p = _round_up(c, align)
     if c_p <= blk_cap:

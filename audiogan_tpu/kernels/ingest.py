@@ -72,10 +72,11 @@ def _kernel(offs_ref, x_ref, o_ref, *, rows_blk, clip_len, mode, target,
     for i in range(rows_blk):  # static unroll over the block's rows
         off = offs_ref[gb * rows_blk + i]
         # rotate left by off => wanted window sits at [:clip_len] (static).
-        # Expressed as a POSITIVE right-rotation by n-off: hardware
-        # dynamic_rotate mishandles negative shifts (wrong values on HW
-        # 2026-08-17; interpret mode accepted both signs).
-        row = pltpu.roll(xf[i:i + 1, :], n - off, 1)
+        # Expressed as a POSITIVE right-rotation by (n-off) % n: hardware
+        # dynamic_rotate mishandles shifts outside [0, n) (wrong values on
+        # HW for negatives 2026-08-17; interpret mode reduces mod n and
+        # masks it) and off=0 would otherwise pass shift == n exactly.
+        row = pltpu.roll(xf[i:i + 1, :], (n - off) % n, 1)
         rows.append(row[:, :clip_len])
     x = jnp.concatenate(rows, axis=0)
     if valid_len != clip_len:

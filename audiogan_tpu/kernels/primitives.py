@@ -153,7 +153,12 @@ def _conv1d_transpose_w(ct, x, w, *, stride, pad_lo, pad_hi, impl):
     t_out = ct.shape[1]
     q_taps = -(-k // s)
     rows = t_out + q_taps - 1
-    x_sh = jnp.pad(x, ((0, 0), (pad_lo, rows * s - pad_lo - t_in), (0, 0)))
+    # rows*s can undershoot pad_lo+t_in when (t_in+pads-k) % s != 0 (e.g.
+    # k=25, s=5 uncentered pads under 2nd-order AD): the tail samples no
+    # tap<k reads are then TRIMMED, not padded — a negative pad crashes.
+    back = rows * s - pad_lo - t_in
+    x_sh = jnp.pad(x, ((0, 0), (pad_lo, max(back, 0)),
+                       (0, 0)))[:, :rows * s]
     x_rows = x_sh.reshape(b, rows, s * cin)
     dwq = [jnp.einsum("btl,bto->lo",
                       lax.slice_in_dim(x_rows, q, q + t_out, axis=1), ct,

@@ -184,8 +184,10 @@ def cp_chunked_scan(step_fn, carry0, length_local: int, axis: str):
         keep = idx == j
         sel = lambda a, b: jnp.where(keep, a, b)  # noqa: E731
         ys = new_ys if ys is None else jax.tree.map(sel, new_ys, ys)
-        kept = jax.tree.map(sel, new_carry, carry)
-        carry = jax.tree.map(lambda v: lax.ppermute(v, axis, perm), kept)
+        if j < n_cp - 1:  # the final carry is dropped: no handoff for it
+            kept = jax.tree.map(sel, new_carry, carry)
+            carry = jax.tree.map(
+                lambda v: lax.ppermute(v, axis, perm), kept)
     return ys
 
 

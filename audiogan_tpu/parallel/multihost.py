@@ -50,9 +50,14 @@ def make_multihost_mesh(cfg: Config) -> Mesh:
                 devices=jax.devices())
         except Exception:
             # CPU farms lack slice_index attributes: group by process,
-            # which IS the DCN boundary
-            devs = sorted(jax.devices(),
-                          key=lambda d: (d.process_index, d.id))
+            # which IS the DCN boundary, and take only the dp*cp devices
+            # each slice contributes (hosts may expose more)
+            need = cfg.mesh.dp * cfg.mesh.cp
+            by_proc = {}
+            for d in sorted(jax.devices(),
+                            key=lambda d: (d.process_index, d.id)):
+                by_proc.setdefault(d.process_index, []).append(d)
+            devs = [d for grp in by_proc.values() for d in grp[:need]]
             devices = np.asarray(devs)
     else:
         # single process: degenerate dcn axis of size 1 (no DCN hardware

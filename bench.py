@@ -246,13 +246,19 @@ def main():
                          "per step on CPU) and record it")
     ap.add_argument("--compare", action="store_true",
                     help="interleaved in-process xla/pallas/mixed tier "
-                         "comparison (throttle-drift-fair; one JSON line)")
+                         "comparison (throttle-drift-fair; one JSON line); "
+                         "honors --steps (per timed round) and --rounds")
+    ap.add_argument("--rounds", type=int, default=3,
+                    help="interleave rounds for --compare")
     args = ap.parse_args()
 
     if args.compare:
         print(json.dumps({"metric": "tier_compare",
                           "preset": args.preset,
-                          **bench_compare(args.preset, args.dtype)}),
+                          "rounds": args.rounds, "steps": args.steps,
+                          **bench_compare(args.preset, args.dtype,
+                                          rounds=args.rounds,
+                                          steps=args.steps)}),
               flush=True)
         return
 

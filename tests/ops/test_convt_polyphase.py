@@ -81,6 +81,25 @@ def test_second_order_grads_nonaligned_geometry():
         check_grads(g, (xt, w), order=2, modes=["rev"], atol=2e-3, rtol=2e-3)
 
 
+def test_second_order_grads_stride_divides_kernel():
+    """Regression: with k % s == 0-adjacent geometry (k=25, s=5 — the music
+    preset's pair) and uncentered pads, the inner conv1d produced by
+    convt's transpose_x has (t_in+pads-k) % s != 0, and transpose_w's
+    phase-row cover rows*s undershoots pad_lo+t_in: the back-pad went
+    NEGATIVE and jnp.pad raised at trace time under grad-of-grad. The fix
+    trims instead (samples no tap < k reads)."""
+    from jax.test_util import check_grads
+
+    from audiogan_tpu.kernels.primitives import convt1d_prim
+
+    k, s, c = 25, 5, 8
+    x = jax.random.normal(jax.random.key(0), (2, 12, c)) * 0.5
+    w = jax.random.normal(jax.random.key(1), (k, c, c)) * 0.2
+    g = lambda x, w: convt1d_prim(x, w, stride=s, pad_lo=0, out_len=60,
+                                  impl="xla")
+    check_grads(g, (x, w), order=2, modes=["rev"], atol=2e-3, rtol=2e-3)
+
+
 def test_ops_conv_transpose_uses_polyphase_semantics():
     """ops.conv.conv_transpose1d (impl='xla') == the dilated-conv definition."""
     from audiogan_tpu.ops.conv import conv_transpose1d

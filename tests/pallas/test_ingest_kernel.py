@@ -43,6 +43,24 @@ def test_fused_matches_ops_chain(rng, mode, mu):
                                atol=1e-6, rtol=1e-6)
 
 
+def test_fused_zero_offset_rows(rng):
+    """off=0 rows (store_len == clip_len forces EVERY row to 0) must not
+    rotate: the kernel's right-rotation amount (n - off) hits exactly n
+    there, outside the [0, n) range hardware dynamic_rotate requires —
+    regression for the (n - off) % n reduction (interpret mode reduces mod
+    n itself and masked it; the HW witness is tests_tpu/run_pallas_tpu.py)."""
+    b, s = 4, 512
+    raw = _raw(rng, b, s)
+    offs = jnp.zeros((b,), jnp.int32)
+    got = ingest_fused(raw, offs, s, "peak", 0.999, 255.0)
+    x = raw.astype(jnp.float32) / 32768.0
+    want = x * (0.999 / jnp.maximum(
+        jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8))
+    want = jnp.sign(want) * jnp.log1p(255.0 * jnp.abs(want)) / np.log1p(255.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+
 def test_ingest_batch_pallas_route_equals_xla(rng):
     """ingest_batch(kernels='pallas') == ingest_batch(kernels='xla') for the
     training path — same key => same crop offsets => identical pipeline."""

@@ -122,6 +122,18 @@ def main():
                                                  kernels="xla"), braw)
     print(f"     speedup: {tx / tp:.2f}x")
 
+    # off=0 rows on REAL hardware: store_len == clip_len forces every crop
+    # offset to 0, driving the kernel's right-rotation through the
+    # (n - off) % n == 0 branch — HW dynamic_rotate rejects shift==n
+    # semantics that interpret mode silently reduces (2026-08-17)
+    braw0 = braw[:, :16384]
+    dcfg0 = DataCfg(clip_len=16384, store_len=16384)
+    got = jax.jit(lambda r: ingest_batch(r, dcfg0, key, kernels="pallas")
+                  )(braw0)
+    want = jax.jit(lambda r: ingest_batch(r, dcfg0, key, kernels="xla")
+                   )(braw0)
+    ok &= check("ingest_fused off=0 rows (shift n%n)", got, want, atol=1e-5)
+
     # GRU cell (cond_gru_sc09 shapes)
     xg, hg = r(64, 1024), r(64, 512)
     wi, wh = r(1024, 1536) * 0.05, r(512, 1536) * 0.05

@@ -54,6 +54,17 @@ from jax.experimental.pallas import tpu as pltpu
 MIN_CH = 32
 _INTERPRET = False  # flipped by tests on CPU
 
+# batch-collapse thresholds (max t_out / m_out that collapses; HW-measured
+# 2026-08-17 f32 single-layer: conv1d collapse 1.69x vs XLA at t_out=256
+# and 0.89->1.01x at t_out=16, but convT collapse LOSES at every size
+# (0.84x / 0.99x / 0.50x at m_out 16/64/256 — the stacked halo is a larger
+# fraction of rows_b and lanes_out is already s-times wider), and the bf16
+# flagship tier-compare confirms: convT collapse at 64 dragged the mixed
+# tier 1.05x -> 0.96x. Default: conv1d collapses small-T, convT never.
+import os as _os
+_COLLAPSE_MAX_CONV = int(_os.environ.get("AUDIOGAN_COLLAPSE_CONV", "256"))
+_COLLAPSE_MAX_CONVT = int(_os.environ.get("AUDIOGAN_COLLAPSE_CONVT", "0"))
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -67,6 +78,26 @@ def _rows_alloc(n_t: int, t_tile: int, q_taps: int) -> int:
     """Input rows to materialize so every tile's 16-aligned haloed DMA
     (see _rowconv_call) stays in bounds."""
     return (n_t - 1) * t_tile + _round_up(t_tile + q_taps - 1, 16)
+
+
+def _fit_t_tile(t_tile: int, q_taps: int, lanes_in: int, lanes_out: int,
+                itemsize: int) -> int:
+    """Largest multiple-of-16 tile whose scoped-VMEM footprint (haloed
+    double-buffered input + weight block + f32 accumulator + revisited
+    output window) fits the 16 MB VMEM with headroom for Mosaic's own
+    buffers. Measured OOM without this: collapse-mode convt 16x1024->512
+    f32 at t_tile=512 allocated 16.02M (limit 16.00M, 2026-08-17)."""
+    budget = 13 * 1024 * 1024
+    w_bytes = q_taps * lanes_in * lanes_out * itemsize
+    while t_tile > 16:
+        rows_tile = _round_up(t_tile + q_taps - 1, 16)
+        need = (2 * rows_tile * lanes_in * itemsize + w_bytes
+                + t_tile * lanes_out * 4
+                + 2 * t_tile * lanes_out * itemsize)
+        if need <= budget:
+            break
+        t_tile -= 16
+    return t_tile
 
 
 def _same_pads(t_in: int, k: int, s: int) -> tuple[int, int, int]:
@@ -200,17 +231,46 @@ def _conv1d_pallas(x: jnp.ndarray, w: jnp.ndarray, s: int,
     q_taps = _cdiv(k, s)
     cout_blk = min(cout_p, 256)
     n_ci, n_co = cin_p // cin_blk, cout_p // cout_blk
-    t_tile = min(_round_up(t_out, 16), 512)
-    n_t = _cdiv(t_out, t_tile)
 
-    # x rows: row m = x_sh[m*s : m*s + s] (s samples x cin channels), where
-    # x_sh is x with pad_lo zeros in front; lanes ordered (ci-block, s, c).
-    rows_needed = _rows_alloc(n_t, t_tile, q_taps)
-    pad_back = rows_needed * s - pad_lo - t_in
-    x_sh = jnp.pad(x, ((0, 0), (pad_lo, pad_back), (0, cin_p - cin)))
-    xr = x_sh.reshape(b, rows_needed, s, n_ci, cin_blk)
-    xr = xr.transpose(0, 3, 1, 2, 4)                # free when n_ci == 1
-    x_rows = xr.reshape(b, n_ci, rows_needed, s * cin_blk)
+    # Small-T layers (deep critic stages: t_out 256/64/16 at batch 64)
+    # drown in per-grid-step overhead when each batch element gets its own
+    # tiny tile. Batch-collapse instead: stack every element's rows (WITH
+    # its q_taps-1 halo) along one row axis — out_stack[b*rows_b + t] =
+    # sum_q X[b*rows_b + t + q] @ W_q never crosses a batch boundary
+    # because t + q <= rows_b - 1 — so one 512-row tile spans many batch
+    # elements and the Q matmuls stay MXU-sized.
+    collapse = b > 1 and t_out <= _COLLAPSE_MAX_CONV
+    if collapse:
+        rows_b = t_out + q_taps - 1             # stacked stride per batch
+        r_out = (b - 1) * rows_b + t_out        # last real output row + 1
+        t_tile = _fit_t_tile(min(_round_up(r_out, 16), 512), q_taps,
+                             s * cin_blk, cout_blk, x.dtype.itemsize)
+        n_t = _cdiv(r_out, t_tile)
+        rows_needed = _rows_alloc(n_t, t_tile, q_taps)
+        back = rows_b * s - pad_lo - t_in       # may undershoot: trim
+        x_sh = jnp.pad(x, ((0, 0), (pad_lo, max(back, 0)),
+                           (0, cin_p - cin)))[:, :rows_b * s]
+        xr = x_sh.reshape(b * rows_b, s, n_ci, cin_blk)
+        xr = jnp.pad(xr, ((0, rows_needed - b * rows_b), (0, 0), (0, 0),
+                          (0, 0)))
+        xr = xr.transpose(2, 0, 1, 3)           # free when n_ci == 1
+        x_rows = xr.reshape(1, n_ci, rows_needed, s * cin_blk)
+        kb, kt = 1, n_t
+    else:
+        t_tile = _fit_t_tile(min(_round_up(t_out, 16), 512), q_taps,
+                             s * cin_blk, cout_blk, x.dtype.itemsize)
+        n_t = _cdiv(t_out, t_tile)
+
+        # x rows: row m = x_sh[m*s : m*s + s] (s samples x cin channels),
+        # where x_sh is x with pad_lo zeros in front; lanes ordered
+        # (ci-block, s, c).
+        rows_needed = _rows_alloc(n_t, t_tile, q_taps)
+        pad_back = rows_needed * s - pad_lo - t_in
+        x_sh = jnp.pad(x, ((0, 0), (pad_lo, pad_back), (0, cin_p - cin)))
+        xr = x_sh.reshape(b, rows_needed, s, n_ci, cin_blk)
+        xr = xr.transpose(0, 3, 1, 2, 4)            # free when n_ci == 1
+        x_rows = xr.reshape(b, n_ci, rows_needed, s * cin_blk)
+        kb, kt = b, n_t
 
     # weights: W_q = w[q*s : (q+1)*s] with rows ordered (ci-block, s, c),
     # laid out [n_ci, n_co, Q, lanes_in, lanes_out] (block dims lead)
@@ -221,12 +281,20 @@ def _conv1d_pallas(x: jnp.ndarray, w: jnp.ndarray, s: int,
     w_taps = wt.reshape(n_ci, n_co, q_taps, s * cin_blk, cout_blk)
 
     out = _rowconv_call(
-        x_rows, w_taps, b=b, n_t=n_t, t_tile=t_tile, q_taps=q_taps,
+        x_rows, w_taps, b=kb, n_t=kt, t_tile=t_tile, q_taps=q_taps,
         n_ci=n_ci, n_co=n_co, lanes_out=cout_blk, out_dtype=x.dtype,
         flops=2 * b * t_out * k * cin * cout,
-        bytes_accessed=(b * rows_needed * s * cin_p * n_ci
+        # input tiles are re-DMA'd once per n_co grid step (grid (b, n_t,
+        # n_co, n_ci)); cin_p already spans all n_ci blocks
+        bytes_accessed=(kb * rows_needed * s * cin_p * n_co
                         + q_taps * s * cin_p * cout_p
                         + b * t_out * cout_p) * x.dtype.itemsize)
+    if collapse:
+        out = out[0].transpose(1, 0, 2)         # [n_t*t_tile, n_co, blk]
+        out = out.reshape(n_t * t_tile, n_co * cout_blk)
+        out = jnp.pad(out, ((0, max(b * rows_b - out.shape[0], 0)),
+                            (0, 0)))[:b * rows_b]
+        return out.reshape(b, rows_b, n_co * cout_blk)[:, :t_out, :cout]
     out = out.transpose(0, 2, 1, 3)                 # free when n_co == 1
     out = out.reshape(b, n_t * t_tile, n_co * cout_blk)
     return out[:, :t_out, :cout]
@@ -235,6 +303,30 @@ def _conv1d_pallas(x: jnp.ndarray, w: jnp.ndarray, s: int,
 # ---------------------------------------------------------------------------
 # conv_transpose1d (fractionally-strided conv, output-polyphase kernel)
 # ---------------------------------------------------------------------------
+
+def _convt_phase_range(k: int, s: int, pad_lo: int) -> tuple[int, int]:
+    """(q_min, q_taps) for y[m*s+rho] = sum_q x[m+q] @ w[pad_lo-rho+q*s]."""
+    q_min = -(pad_lo // s)
+    q_max = (k + s - 2 - pad_lo) // s
+    return q_min, q_max - q_min + 1
+
+
+def _convt_phase_taps(w, s: int, pad_lo: int):
+    """Polyphase tap bank V[tau, rho, c, o] = w[pad_lo - rho +
+    (q_min+tau)*s, c, o], zeroed where the tap index leaves [0, k); static
+    gather at trace time. ONE home for the correctness-critical index
+    formula shared by the Pallas and XLA conv_transpose lowerings (the
+    equivalence tests compare exactly these two tiers)."""
+    k = w.shape[0]
+    q_min, q_taps = _convt_phase_range(k, s, pad_lo)
+    tau = np.arange(q_taps)[:, None]
+    rho = np.arange(s)[None, :]
+    j_idx = pad_lo - rho + (q_min + tau) * s            # [Q, s]
+    valid = (j_idx >= 0) & (j_idx < k)
+    v = jnp.where(jnp.asarray(valid)[:, :, None, None],
+                  w[np.clip(j_idx, 0, k - 1)], 0)       # [Q, s, ci, co]
+    return v, q_min, q_taps
+
 
 def _convt_pallas(x, w, s, pad_lo, out_len):
     b, t_in, cin = x.shape
@@ -251,36 +343,51 @@ def _convt_pallas(x, w, s, pad_lo, out_len):
         cout, s, blk_cap=max(1024 // s // 128, 1) * 128)
     n_ci, n_co = cin_p // cin_blk, cout_p // cout_blk
     lanes_out = s * cout_blk
-    t_tile = min(_round_up(m_out, 16), 512)
-    n_t = _cdiv(m_out, t_tile)
 
     # y[m, rho] = sum_q x[m + q] w[pad_lo - rho + q*s]  (cross-correlation
     # with the input-dilated signal, phases split on the output). With
     # q in [q_min, q_max] and tau = q - q_min:
     #   y_rows[m] = sum_tau x_pad[m + tau] @ V_tau,
     # where x_pad has -q_min zeros in front.
-    q_min = -(pad_lo // s)
-    q_max = (k + s - 2 - pad_lo) // s
-    q_taps = q_max - q_min + 1
+    q_min, q_taps = _convt_phase_range(k, s, pad_lo)
 
-    rows_needed = _rows_alloc(n_t, t_tile, q_taps)
-    pad_back = rows_needed + q_min - t_in
-    if pad_back < 0:
-        # trailing input rows the first out_len outputs never read
-        x, t_in, pad_back = x[:, :t_in + pad_back], t_in + pad_back, 0
-    x_pad = jnp.pad(x, ((0, 0), (-q_min, pad_back), (0, cin_p - cin)))
-    xr = x_pad.reshape(b, rows_needed, n_ci, cin_blk)
-    x_rows = xr.transpose(0, 2, 1, 3)               # free when n_ci == 1
+    # batch-collapse small-m layers (see _conv1d_pallas): stacking each
+    # element's rows WITH their halo keeps every tap read inside its own
+    # batch's span, so one 512-row tile covers many elements
+    collapse = b > 1 and m_out <= _COLLAPSE_MAX_CONVT
+    if collapse:
+        rows_b = m_out + q_taps - 1
+        r_out = (b - 1) * rows_b + m_out
+        t_tile = _fit_t_tile(min(_round_up(r_out, 16), 512), q_taps,
+                             cin_blk, lanes_out, x.dtype.itemsize)
+        n_t = _cdiv(r_out, t_tile)
+        rows_needed = _rows_alloc(n_t, t_tile, q_taps)
+        back = rows_b + q_min - t_in
+        if back < 0:
+            # trailing input rows the first out_len outputs never read
+            x, t_in, back = x[:, :t_in + back], t_in + back, 0
+        x_pad = jnp.pad(x, ((0, 0), (-q_min, back), (0, cin_p - cin)))
+        xr = x_pad.reshape(b * rows_b, n_ci, cin_blk)
+        xr = jnp.pad(xr, ((0, rows_needed - b * rows_b), (0, 0), (0, 0)))
+        x_rows = xr.transpose(1, 0, 2).reshape(1, n_ci, rows_needed,
+                                               cin_blk)
+        kb, kt = 1, n_t
+    else:
+        t_tile = _fit_t_tile(min(_round_up(m_out, 16), 512), q_taps,
+                             cin_blk, lanes_out, x.dtype.itemsize)
+        n_t = _cdiv(m_out, t_tile)
+        rows_needed = _rows_alloc(n_t, t_tile, q_taps)
+        pad_back = rows_needed + q_min - t_in
+        if pad_back < 0:
+            # trailing input rows the first out_len outputs never read
+            x, t_in, pad_back = x[:, :t_in + pad_back], t_in + pad_back, 0
+        x_pad = jnp.pad(x, ((0, 0), (-q_min, pad_back), (0, cin_p - cin)))
+        xr = x_pad.reshape(b, rows_needed, n_ci, cin_blk)
+        x_rows = xr.transpose(0, 2, 1, 3)           # free when n_ci == 1
+        kb, kt = b, n_t
 
-    # V_tau[c, rho*cout + o] = w[pad_lo - rho + (q_min + tau)*s, c, o]
-    # (zero where the tap index leaves [0, k)); static gather at trace time.
-    tau = np.arange(q_taps)[:, None]
-    rho = np.arange(s)[None, :]
-    j_idx = pad_lo - rho + (q_min + tau) * s            # [Q, s]
-    valid = (j_idx >= 0) & (j_idx < k)
     wp = jnp.pad(w, ((0, 0), (0, cin_p - cin), (0, cout_p - cout)))
-    v = wp[np.clip(j_idx, 0, k - 1)]                    # [Q, s, cin_p, cout_p]
-    v = jnp.where(jnp.asarray(valid)[:, :, None, None], v, 0)
+    v, _, _ = _convt_phase_taps(wp, s, pad_lo)          # [Q, s, cin_p, cout_p]
     v = v.transpose(0, 2, 1, 3)                         # [Q, cin_p, s, cout_p]
     v = v.reshape(q_taps, n_ci, cin_blk, s, n_co, cout_blk)
     # lay out [n_ci, n_co, Q, cin_blk, s*cout_blk] (block dims lead)
@@ -288,11 +395,21 @@ def _convt_pallas(x, w, s, pad_lo, out_len):
     w_taps = v.reshape(n_ci, n_co, q_taps, cin_blk, lanes_out)
 
     out = _rowconv_call(
-        x_rows, w_taps, b=b, n_t=n_t, t_tile=t_tile, q_taps=q_taps,
+        x_rows, w_taps, b=kb, n_t=kt, t_tile=t_tile, q_taps=q_taps,
         n_ci=n_ci, n_co=n_co, lanes_out=lanes_out, out_dtype=x.dtype,
         flops=2 * b * m_out * k * cin * cout,
-        bytes_accessed=(b * rows_needed * cin_p + q_taps * s * cin_p * cout_p
+        bytes_accessed=(kb * rows_needed * cin_p * n_co
+                        + q_taps * s * cin_p * cout_p
                         + b * out_len * cout_p) * x.dtype.itemsize)
+    if collapse:
+        nt_rows = n_t * t_tile
+        out = out.reshape(n_co, nt_rows, s, cout_blk)
+        out = out.transpose(1, 2, 0, 3).reshape(nt_rows, s,
+                                                n_co * cout_blk)
+        out = jnp.pad(out, ((0, max(b * rows_b - nt_rows, 0)), (0, 0),
+                            (0, 0)))[:b * rows_b]
+        out = out.reshape(b, rows_b * s, n_co * cout_blk)
+        return out[:, :out_len, :cout]
     out = out.reshape(b, n_co, n_t * t_tile, s, cout_blk)
     out = out.transpose(0, 2, 3, 1, 4)                  # free when n_co == 1
     out = out.reshape(b, n_t * t_tile * s, n_co * cout_blk)
@@ -322,23 +439,12 @@ def _convt_polyphase_xla(x, w, s, pad_lo, out_len):
     b, t_in, cin = x.shape
     k, _, cout = w.shape
     m_out = _cdiv(out_len, s)
-    q_min = -(pad_lo // s)
-    q_max = (k + s - 2 - pad_lo) // s
-    q_taps = q_max - q_min + 1
-
-    # V[tau, c, rho*cout + o] = w[pad_lo - rho + (q_min+tau)*s, c, o]
-    # (zero where the tap leaves [0, k)); static gather at trace time.
-    tau = np.arange(q_taps)[:, None]
-    rho = np.arange(s)[None, :]
-    j_idx = pad_lo - rho + (q_min + tau) * s                    # [Q, s]
-    valid = (j_idx >= 0) & (j_idx < k)
-    v = jnp.where(jnp.asarray(valid)[:, :, None, None],
-                  w[np.clip(j_idx, 0, k - 1)], 0)               # [Q,s,ci,co]
+    v, q_min, q_taps = _convt_phase_taps(w, s, pad_lo)          # [Q,s,ci,co]
     v = v.transpose(0, 2, 1, 3).reshape(q_taps, cin, s * cout)
 
     out = lax.conv_general_dilated(
         x, v, window_strides=(1,),
-        padding=[(-q_min, m_out + q_max - t_in)],
+        padding=[(-q_min, m_out + (q_min + q_taps - 1) - t_in)],
         dimension_numbers=("NWC", "WIO", "NWC"))                # [B,m_out,s*co]
     return out.reshape(b, m_out * s, cout)[:, :out_len]
 

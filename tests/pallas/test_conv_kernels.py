@@ -24,6 +24,8 @@ CASES = [
     (2, 100, 32, 8, 7, 4),    # T not divisible by stride
     (1, 512, 8, 256, 25, 1),  # stride 1
     (2, 48, 256, 256, 25, 4), # channel blocking path (cin=cout=256)
+    (4, 64, 512, 128, 25, 4), # batch-collapsed rows + n_ci=2 blocking
+    (3, 100, 64, 32, 25, 4),  # batch-collapsed, T % s != 0
 ]
 
 
@@ -43,6 +45,7 @@ def test_conv1d_matches_xla(rng, b, t, cin, cout, k, s):
     (1, 32, 16, 16, 9, 2),
     (2, 12, 32, 8, 25, 7),
     (1, 20, 8, 8, 5, 3),
+    (4, 16, 512, 64, 25, 4),  # batch-collapsed rows + n_ci=2 blocking
 ])
 def test_convt_matches_xla(rng, b, t, cin, cout, k, s):
     x = _rand(rng, b, t, cin)

@@ -148,9 +148,9 @@ class Config:
             raise ValueError("batch_size must be divisible by mesh.dp")
         for f in ("kernels", "kernels_g", "kernels_d"):
             v = getattr(self.train, f)
-            if v not in (("xla", "pallas") if f == "kernels"
-                         else ("", "xla", "pallas")):
-                raise ValueError(f"train.{f}={v!r} not in xla|pallas")
+            if v not in (("xla", "pallas", "auto") if f == "kernels"
+                         else ("", "xla", "pallas", "auto")):
+                raise ValueError(f"train.{f}={v!r} not in xla|pallas|auto")
         if d.clip_len % self.mesh.cp != 0:
             raise ValueError("clip_len must be divisible by mesh.cp")
         if self.mesh.cp > 1:
@@ -231,18 +231,20 @@ def tiny_sc09() -> Config:
 def wgan_gp_b64() -> Config:
     """[B:8] Flagship: WGAN-GP + phase shuffle, batch 64, fused ingest.
 
-    Default kernel tier is MIXED — G on the Pallas polyphase convT kernels
-    (they beat XLA's lowering: within-round ratio 1.02, stable across 9
-    interleaved rounds, BASELINE.md 2026-08-17), D on XLA (the GP
-    double-backprop composition is faster there). Override with
-    --kernels xla|pallas for a uniform tier.
+    Default kernel tier is AUTO — every conv (including each AD-generated
+    conv in the GP double-backprop) picks the measured-best tier for ITS
+    geometry (kernels/conv.py _auto_*). Best tier in the deciding
+    10-round interleaved compare (BASELINE.md 2026-08-17): auto 1.00 vs
+    xla / ~1.05 vs the previous mixed default, with the most stable
+    per-round throughput. Override with --kernels xla|pallas for a
+    uniform tier.
     """
     return Config(
         name="wgan_gp_b64",
         data=DataCfg(num_classes=0),
         model=ModelCfg(generator="wavegan", model_dim=64),
         loss=LossCfg(n_critic=5),
-        train=TrainCfg(batch_size=64, kernels_g="pallas"),
+        train=TrainCfg(batch_size=64, kernels="auto"),
     ).validate()
 
 
@@ -254,7 +256,8 @@ def cond_gru_sc09() -> Config:
         model=ModelCfg(generator="gru", model_dim=64,
                        gru_frame_size=64, gru_hidden=512),
         loss=LossCfg(n_critic=5),
-        train=TrainCfg(batch_size=64),
+        # auto: fused GRU scan (1.21x on-HW) + per-geometry conv routing
+        train=TrainCfg(batch_size=64, kernels="auto"),
     ).validate()
 
 
@@ -265,7 +268,9 @@ def dual_stft() -> Config:
         data=DataCfg(num_classes=0),
         model=ModelCfg(generator="wavegan", model_dim=64, use_stft_critic=True),
         loss=LossCfg(n_critic=5, stft_loss_weight=1.0),
-        train=TrainCfg(batch_size=64),
+        # auto: wave G/D geometry identical to the flagship (the measured
+        # routing transfers); the STFT critic's 2D convs stay XLA
+        train=TrainCfg(batch_size=64, kernels="auto"),
     ).validate()
 
 

@@ -449,11 +449,33 @@ def _convt_polyphase_xla(x, w, s, pad_lo, out_len):
     return out.reshape(b, m_out * s, cout)[:, :out_len]
 
 
+def _auto_conv1d_impl(b: int, t_out: int, cin: int, cout: int) -> str:
+    """Per-geometry tier choice for impl="auto". Resolved at trace time
+    inside the lowering, so every AD-generated conv picks its own best
+    tier for ITS geometry. bf16 flagship layers, interleaved fwd+vjp
+    (scripts/kernel_bench.py 2026-08-17, pallas/xla time ratios):
+    t_out=1024 1.05/0.93, t_out=256 0.85/0.67 (batch-collapse sweet spot),
+    t_out=64 0.96/1.23, t_out=16 1.10/1.06 — only the mid band wins both
+    directions."""
+    return "pallas" if (b > 1 and 128 <= t_out <= 512) else "xla"
+
+
+def _auto_convt1d_impl(b: int, m_out: int, cin: int, cout: int) -> str:
+    """convT tier choice for impl="auto". bf16 measured (same run):
+    m_out=1024 0.79/0.99, m_out=256 0.84/1.01, m_out=64 1.00/0.89 — all
+    win; m_out=16 0.95/1.06 is a wash-to-loss (per-call overhead on a
+    16-row grid)."""
+    return "pallas" if m_out >= 64 else "xla"
+
+
 def conv1d_lowered(x, w, stride, pad_lo, pad_hi, impl="pallas"):
-    """Lowering body for the audiogan_conv1d primitive (pallas or XLA)."""
+    """Lowering body for the audiogan_conv1d primitive (pallas, XLA, or
+    per-geometry "auto")."""
     k, cin, cout = w.shape
     t_in = x.shape[1]
     t_out = (t_in + pad_lo + pad_hi - k) // stride + 1
+    if impl == "auto":
+        impl = _auto_conv1d_impl(x.shape[0], t_out, cin, cout)
     if impl != "pallas" or min(cin, cout) < MIN_CH:
         return lax.conv_general_dilated(
             x, w, window_strides=(stride,), padding=[(pad_lo, pad_hi)],
@@ -468,6 +490,9 @@ def convt1d_lowered(x, w, stride, pad_lo, out_len, impl="pallas"):
     _convt_polyphase_xla): the XLA tier is the polyphase-phases conv.
     """
     k, cin, cout = w.shape
+    if impl == "auto":
+        impl = _auto_convt1d_impl(x.shape[0], _cdiv(out_len, stride),
+                                  cin, cout)
     if (impl != "pallas" or min(cin, cout) < MIN_CH
             or out_len % stride != 0):
         return _convt_polyphase_xla(x, w, stride, pad_lo, out_len)

@@ -43,7 +43,8 @@ def ingest_batch(
     crop), identity resample, int16 input, store >= clip. Both paths draw
     crop starts from ops.framing.crop_offsets, so they agree exactly.
     """
-    if (kernels == "pallas" and key is not None
+    if (kernels == "pallas" and key is not None  # auto keeps XLA: measured
+            # 0.87x for the fused pass — ingest is bandwidth-bound
             and cfg.sample_rate == cfg.source_rate
             and raw.dtype == jnp.int16
             and raw.shape[-1] >= cfg.clip_len

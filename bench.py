@@ -151,6 +151,10 @@ TIERS = {
     "pallas": ["train.kernels=pallas"],
     "mixed": ["train.kernels=xla", "train.kernels_g=pallas",
               "train.kernels_d=xla"],
+    # per-geometry routing: every conv (incl. AD-generated ones) picks the
+    # measured-best tier for its own shape (kernels/conv.py _auto_*)
+    "auto": ["train.kernels=auto", "train.kernels_g=",
+             "train.kernels_d="],
 }
 
 

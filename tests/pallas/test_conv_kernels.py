@@ -57,6 +57,27 @@ def test_convt_matches_xla(rng, b, t, cin, cout, k, s):
                                atol=1e-4, rtol=1e-4)
 
 
+def test_auto_impl_matches_xla(rng):
+    """impl='auto' routes per-geometry (kernels/conv.py _auto_*); values
+    must agree with the xla tier on both routing outcomes."""
+    for b, t, cin, cout, k, s in [(4, 64, 512, 128, 25, 4),    # -> pallas
+                                  (2, 4096, 64, 128, 25, 4)]:  # -> xla
+        x = _rand(rng, b, t, cin)
+        w = _rand(rng, k, cin, cout) * 0.1
+        got = xconv1d(x, w, stride=s, padding="SAME", impl="auto")
+        want = xconv1d(x, w, stride=s, padding="SAME", impl="xla")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+    for b, t, cin, cout, k, s in [(2, 512, 64, 32, 25, 4),   # -> pallas
+                                  (2, 16, 64, 32, 25, 4)]:   # -> xla
+        x = _rand(rng, b, t, cin)
+        w = _rand(rng, k, cin, cout) * 0.1
+        got = xconvt1d(x, w, stride=s, impl="auto")
+        want = xconvt1d(x, w, stride=s, impl="xla")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_conv1d_small_cin_falls_back(rng):
     # Cin=1 (waveform input layer) takes the XLA path but same API/result
     x = _rand(rng, 2, 64, 1)

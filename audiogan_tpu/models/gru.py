@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from audiogan_tpu.ops.conv import conv_transpose1d
+from audiogan_tpu.ops.conv import conv_transpose1d_ba
 from audiogan_tpu.ops.gru import gru_cell
 
 _KERNEL_INIT = nn.initializers.glorot_uniform()
@@ -117,7 +117,9 @@ class GRUGenerator(nn.Module):
             w = self.param(f"up_{i}_kernel", _KERNEL_INIT,
                            (self.kernel_size, h.shape[-1], c_out), jnp.float32)
             bb = self.param(f"up_{i}_bias", _BIAS_INIT, (c_out,), jnp.float32)
-            h = conv_transpose1d(h, w.astype(dt), stride=s,
-                                 impl=self.kernels) + bb.astype(dt)
-            h = nn.relu(h) if i < len(strides) - 1 else jnp.tanh(h)
+            # bias + ReLU/tanh fused into the conv kernel's epilogue
+            h = conv_transpose1d_ba(
+                h, w.astype(dt), bb.astype(dt), stride=s,
+                act="relu" if i < len(strides) - 1 else "tanh",
+                impl=self.kernels)
         return h.astype(jnp.float32)

@@ -24,7 +24,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from audiogan_tpu.ops.conv import conv1d, conv_transpose1d
+from audiogan_tpu.ops.conv import conv1d_ba, conv_transpose1d_ba
 from audiogan_tpu.ops.phase_shuffle import phase_shuffle
 
 _KERNEL_INIT = nn.initializers.glorot_uniform()
@@ -84,9 +84,11 @@ class WaveGANGenerator(nn.Module):
             w = self.param(f"convt_{i}_kernel", _KERNEL_INIT,
                            (self.kernel_size, h.shape[-1], c_out), jnp.float32)
             b = self.param(f"convt_{i}_bias", _BIAS_INIT, (c_out,), jnp.float32)
-            h = conv_transpose1d(h, w.astype(self.dtype), stride=s,
-                                 impl=self.kernels) + b.astype(self.dtype)
-            h = nn.relu(h) if i < n_layers - 1 else jnp.tanh(h)
+            # bias + ReLU/tanh fused into the conv kernel's epilogue
+            h = conv_transpose1d_ba(
+                h, w.astype(self.dtype), b.astype(self.dtype), stride=s,
+                act="relu" if i < n_layers - 1 else "tanh",
+                impl=self.kernels)
         return h.astype(jnp.float32)
 
 
@@ -112,9 +114,10 @@ class WaveGANDiscriminator(nn.Module):
             w = self.param(f"conv_{i}_kernel", _KERNEL_INIT,
                            (self.kernel_size, h.shape[-1], c_out), jnp.float32)
             b = self.param(f"conv_{i}_bias", _BIAS_INIT, (c_out,), jnp.float32)
-            h = conv1d(h, w.astype(self.dtype), stride=s, padding="SAME",
-                       impl=self.kernels) + b.astype(self.dtype)
-            h = nn.leaky_relu(h, 0.2)
+            # bias + LeakyReLU(0.2) fused into the conv kernel's epilogue
+            h = conv1d_ba(h, w.astype(self.dtype), b.astype(self.dtype),
+                          stride=s, padding="SAME", act="leaky_relu",
+                          slope=0.2, impl=self.kernels)
             if train and self.phase_shuffle_rad and i < n_layers - 1:
                 key = self.make_rng("phase_shuffle")
                 h = phase_shuffle(h, key, self.phase_shuffle_rad)

@@ -56,3 +56,38 @@ def conv_transpose1d(
     from audiogan_tpu.kernels.conv import \
         conv_transpose1d as kernel_convt1d
     return kernel_convt1d(x, w, stride=stride, impl=impl)
+
+
+def conv1d_ba(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    stride: int = 1,
+    padding: str | tuple[int, int] = "SAME",
+    act: str = "none",
+    slope: float = 0.2,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Fused act(conv1d(x, w) + b): the bias + LeakyReLU/ReLU/tanh epilogue
+    is applied inside the Pallas kernel's final accumulator write (one HBM
+    round-trip of the activation saved per layer); the XLA tier composes
+    the same math from fusable ops. act in none|relu|leaky_relu|tanh."""
+    from audiogan_tpu.kernels.conv import conv1d_ba as kernel_conv1d_ba
+    return kernel_conv1d_ba(x, w, b, stride=stride, padding=padding,
+                            act=act, slope=slope, impl=impl)
+
+
+def conv_transpose1d_ba(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    stride: int,
+    act: str = "none",
+    slope: float = 0.2,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Fused act(conv_transpose1d(x, w) + b) — see conv1d_ba."""
+    from audiogan_tpu.kernels.conv import \
+        conv_transpose1d_ba as kernel_convt1d_ba
+    return kernel_convt1d_ba(x, w, b, stride=stride, act=act, slope=slope,
+                             impl=impl)

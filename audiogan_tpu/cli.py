@@ -67,7 +67,14 @@ def _load_cfg(args) -> Config:
     if getattr(args, "batch_size", None) is not None:
         sets.append(f"train.batch_size={args.batch_size}")
     if getattr(args, "kernels", None) is not None:
-        sets.append(f"train.kernels={args.kernels}")
+        if args.kernels == "mixed":     # G=pallas, D=xla (BASELINE.md r2)
+            sets += ["train.kernels=xla", "train.kernels_g=pallas",
+                     "train.kernels_d=xla"]
+        else:
+            # uniform tier: clear per-net overrides so --kernels xla is
+            # PURE xla even on presets whose default is the mixed tier
+            sets += [f"train.kernels={args.kernels}", "train.kernels_g=",
+                     "train.kernels_d="]
     return apply_overrides(cfg, sets).validate()
 
 
@@ -92,7 +99,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="wav tree or packed corpus ('' = synthetic fixture)")
     t.add_argument("--total_steps", type=int, default=None)
     t.add_argument("--batch_size", type=int, default=None)
-    t.add_argument("--kernels", default=None, choices=["xla", "pallas"])
+    t.add_argument("--kernels", default=None,
+                   choices=["xla", "pallas", "auto", "mixed"])
     t.add_argument("--no_resume", action="store_true")
 
     s = sub.add_parser("sample", help="generate wavs from a checkpoint")

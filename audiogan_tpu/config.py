@@ -115,6 +115,7 @@ class MeshCfg:
 
     dp: int = 1                     # data-parallel axis size
     cp: int = 1                     # context (time-axis) parallel size
+    tp: int = 1                     # tensor (critic channel) parallel size
     fsdp: bool = False              # shard optimizer state over 'data'
                                     # (ZeRO-1 via sharding annotations,
                                     # arXiv:2004.13336 — XLA partitions the
@@ -153,6 +154,21 @@ class Config:
                 raise ValueError(f"train.{f}={v!r} not in xla|pallas|auto")
         if d.clip_len % self.mesh.cp != 0:
             raise ValueError("clip_len must be divisible by mesh.cp")
+        if self.mesh.tp > 1:
+            if self.mesh.cp > 1:
+                raise ValueError("tp>1 with cp>1 is not supported")
+            if self.mesh.fsdp:
+                raise ValueError("tp>1 with fsdp is not supported")
+            if m.use_stft_critic:
+                raise ValueError(
+                    "tp covers the wave critic only (no STFT critic)")
+            chs = [min(m.model_dim * 2 ** i, m.max_channels)
+                   for i in range(len(m.strides))]
+            bad = [c for c in chs if c % self.mesh.tp]
+            if bad:
+                raise ValueError(
+                    f"critic channels {chs} must each be divisible by "
+                    f"tp={self.mesh.tp} (violated by {bad})")
         if self.mesh.cp > 1:
             if m.use_stft_critic:
                 _, hop, _ = m.stft_resolutions[0]

@@ -89,15 +89,22 @@ def _fit_t_tile(t_tile: int, q_taps: int, lanes_in: int, lanes_out: int,
     f32 at t_tile=512 allocated 16.02M (limit 16.00M, 2026-08-17)."""
     budget = 13 * 1024 * 1024
     w_bytes = q_taps * lanes_in * lanes_out * itemsize
-    while t_tile > 16:
+    while True:
         rows_tile = _round_up(t_tile + q_taps - 1, 16)
         need = (2 * rows_tile * lanes_in * itemsize + w_bytes
                 + t_tile * lanes_out * 4
                 + 2 * t_tile * lanes_out * itemsize)
         if need <= budget:
-            break
+            return t_tile
+        if t_tile <= 16:
+            # even a 16-row tile busts VMEM (enormous q_taps*lanes weight
+            # block): fail loudly instead of OOMing at runtime (ADVICE r2)
+            raise ValueError(
+                f"pallas conv tile does not fit VMEM: q_taps={q_taps} "
+                f"lanes_in={lanes_in} lanes_out={lanes_out} needs "
+                f"{need / 2**20:.1f} MiB at t_tile=16 (budget 13 MiB); "
+                f"use --kernels xla for this geometry")
         t_tile -= 16
-    return t_tile
 
 
 def _same_pads(t_in: int, k: int, s: int) -> tuple[int, int, int]:
@@ -463,6 +470,209 @@ def _convt_pallas(x, w, s, pad_lo, out_len, bias=None, act="none",
 
 
 # ---------------------------------------------------------------------------
+# weight-gradient kernel (VERDICT r2 #1b): dW as Q stacked-row matmuls
+#
+# Both convs' weight grads are the same contraction over (batch, time):
+#   conv1d:  dW_q[(r,c), o] = sum_{b,t} x_rows[b, t+q, (r,c)] ct[b, t, o]
+#   convt1d: dV_tau[c, (rho,o)] = sum_{b,m} x_pad[b, m+tau, c] ct_rows[b, m]
+# Batch is FOLDED into the contraction rows (it is summed anyway): each
+# element's rows are stacked WITH their q_taps-1 halo and the cotangent's
+# halo rows are zeroed, so one 512-row tile spans many batch elements and
+# every tap matmul keeps a t_tile-deep contraction. The Q [lanes_in,
+# lanes_out] f32 accumulators ARE the revisited output block (no separate
+# scratch — halves the VMEM high-water vs an acc+out pair).
+# ---------------------------------------------------------------------------
+
+def _wgrad_kernel(x_hbm, ct_ref, o_ref, xs, sem, *, q_taps, t_tile,
+                  rows_tile, grid_dims):
+    ci, co, r = (pl.program_id(i) for i in range(3))
+    nci, nco, nr = grid_dims
+    linear = (ci * nco + co) * nr + r
+    total = nci * nco * nr
+    slot = linear % 2
+
+    def make_dma(ci_, r_, slot_):
+        src = x_hbm.at[ci_, pl.ds(r_ * t_tile, rows_tile), :]
+        return pltpu.make_async_copy(src, xs.at[slot_], sem.at[slot_])
+
+    @pl.when(linear == 0)
+    def _():
+        make_dma(ci, r, slot).start()
+
+    nxt = linear + 1
+
+    @pl.when(nxt < total)
+    def _():
+        r_n = nxt % nr
+        ci_n = nxt // (nco * nr)
+        make_dma(ci_n, r_n, nxt % 2).start()
+
+    make_dma(ci, r, slot).wait()
+
+    @pl.when(r == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    ct = ct_ref[0]                                      # [t_tile, lanes_out]
+    for q in range(q_taps):                             # static unroll
+        o_ref[0, 0, q] += lax.dot_general(
+            xs[slot, pl.ds(q, t_tile), :], ct,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _wgrad_call(x_stack, ct_stack, *, n_t, t_tile, q_taps, n_ci, n_co,
+                lanes_in, lanes_out, flops, bytes_accessed):
+    """x_stack [n_ci, R_alloc, lanes_in] (batch folded into rows, haloed);
+    ct_stack [n_co, n_t*t_tile, lanes_out] (halo rows zero) ->
+    [n_ci, n_co, q_taps, lanes_in, lanes_out] f32."""
+    rows_tile = _round_up(t_tile + q_taps - 1, 16)
+    grid = (n_ci, n_co, n_t)
+    return pl.pallas_call(
+        functools.partial(_wgrad_kernel, q_taps=q_taps, t_tile=t_tile,
+                          rows_tile=rows_tile, grid_dims=grid),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),          # x rows stay in HBM
+            pl.BlockSpec((1, t_tile, lanes_out),
+                         lambda ci_, co_, r_: (co_, r_, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, q_taps, lanes_in, lanes_out),
+                               lambda ci_, co_, r_: (ci_, co_, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_ci, n_co, q_taps, lanes_in, lanes_out), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows_tile, lanes_in), x_stack.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        interpret=_INTERPRET,
+    )(x_stack, ct_stack)
+
+
+def _wgrad_vmem_ok(q_taps, lanes_in, lanes_out, t_tile, itemsize) -> bool:
+    rows_tile = _round_up(t_tile + q_taps - 1, 16)
+    need = (q_taps * lanes_in * lanes_out * 4          # out block (=acc)
+            + 2 * rows_tile * lanes_in * itemsize      # x double buffer
+            + 2 * t_tile * lanes_out * itemsize)       # ct pipeline pair
+    return need <= 13 * 1024 * 1024
+
+
+def _conv1d_wgrad_pallas(x, ct, s, pad_lo, k):
+    b, t_in, cin = x.shape
+    _, t_out, cout = ct.shape
+    cin_p, cin_blk = _in_ch_blocks(cin, s)
+    cout_p = _round_up(cout, 128)
+    if cout_p > 256:
+        cout_p = _round_up(cout_p, 256)
+    cout_blk = min(cout_p, 256)
+    q_taps = _cdiv(k, s)
+    n_ci, n_co = cin_p // cin_blk, cout_p // cout_blk
+    lanes_in, lanes_out = s * cin_blk, cout_blk
+
+    rows_b = t_out + q_taps - 1
+    r_rows = b * rows_b
+    t_tile = min(_round_up(r_rows, 16), 512)
+    if not _wgrad_vmem_ok(q_taps, lanes_in, lanes_out, t_tile,
+                          x.dtype.itemsize):
+        return None                     # route to the XLA einsum tier
+    n_t = _cdiv(r_rows, t_tile)
+    rows_needed = _rows_alloc(n_t, t_tile, q_taps)
+
+    back = rows_b * s - pad_lo - t_in
+    x_sh = jnp.pad(x, ((0, 0), (pad_lo, max(back, 0)),
+                       (0, cin_p - cin)))[:, :rows_b * s]
+    xr = x_sh.reshape(b * rows_b, s, n_ci, cin_blk)
+    xr = jnp.pad(xr, ((0, rows_needed - r_rows), (0, 0), (0, 0), (0, 0)))
+    x_stack = xr.transpose(2, 0, 1, 3).reshape(n_ci, rows_needed,
+                                               lanes_in)
+
+    ctp = jnp.pad(ct, ((0, 0), (0, rows_b - t_out), (0, cout_p - cout)))
+    ctr = ctp.reshape(b * rows_b, n_co, cout_blk)
+    ctr = jnp.pad(ctr, ((0, n_t * t_tile - r_rows), (0, 0), (0, 0)))
+    ct_stack = ctr.transpose(1, 0, 2)
+
+    g = _wgrad_call(
+        x_stack, ct_stack, n_t=n_t, t_tile=t_tile, q_taps=q_taps,
+        n_ci=n_ci, n_co=n_co, lanes_in=lanes_in, lanes_out=lanes_out,
+        flops=2 * b * t_out * q_taps * s * cin * cout,
+        bytes_accessed=(n_ci * rows_needed * lanes_in * n_co
+                        + n_t * t_tile * cout_p) * x.dtype.itemsize
+        + 4 * q_taps * s * cin_p * cout_p)
+    # invert the forward tap layout: [n_ci, n_co, Q, s*cin_blk, cout_blk]
+    # -> [Q*s, cin_p, cout_p] -> trim
+    g = g.reshape(n_ci, n_co, q_taps, s, cin_blk, cout_blk)
+    g = g.transpose(2, 3, 0, 4, 1, 5).reshape(q_taps * s, cin_p, cout_p)
+    return g[:k, :cin, :cout]
+
+
+def _convt1d_wgrad_pallas(x, ct, s, pad_lo, out_len, k):
+    b, t_in, cin = x.shape
+    if out_len % s != 0:
+        return None
+    m_out = out_len // s
+    cout = ct.shape[-1]
+    cin_p = _round_up(cin, 128)
+    if cin_p > 256:
+        cin_p = _round_up(cin_p, 256)
+    cin_blk = min(cin_p, 256)
+    cout_p, cout_blk = _in_ch_blocks(
+        cout, s, blk_cap=max(1024 // s // 128, 1) * 128)
+    n_ci, n_co = cin_p // cin_blk, cout_p // cout_blk
+    lanes_in, lanes_out = cin_blk, s * cout_blk
+
+    q_min = -(pad_lo // s)
+    q_max = (k + s - 2 - pad_lo) // s
+    q_taps = q_max - q_min + 1
+    rows_b = m_out + q_taps - 1
+    r_rows = b * rows_b
+    t_tile = min(_round_up(r_rows, 16), 512)
+    if not _wgrad_vmem_ok(q_taps, lanes_in, lanes_out, t_tile,
+                          x.dtype.itemsize):
+        return None
+    n_t = _cdiv(r_rows, t_tile)
+    rows_needed = _rows_alloc(n_t, t_tile, q_taps)
+
+    back = rows_b + q_min - t_in
+    if back < 0:
+        x, back = x[:, :t_in + back], 0
+    x_pad = jnp.pad(x, ((0, 0), (-q_min, back), (0, cin_p - cin)))
+    xr = x_pad.reshape(b * rows_b, n_ci, cin_blk)
+    xr = jnp.pad(xr, ((0, rows_needed - r_rows), (0, 0), (0, 0)))
+    x_stack = xr.transpose(1, 0, 2)
+
+    ctr = ct.reshape(b, m_out, s, cout)
+    ctr = jnp.pad(ctr, ((0, 0), (0, rows_b - m_out), (0, 0),
+                        (0, cout_p - cout)))
+    ctr = ctr.reshape(b * rows_b, s, n_co, cout_blk)
+    ctr = jnp.pad(ctr, ((0, n_t * t_tile - r_rows), (0, 0), (0, 0),
+                        (0, 0)))
+    ct_stack = ctr.transpose(2, 0, 1, 3).reshape(n_co, n_t * t_tile,
+                                                 lanes_out)
+
+    g = _wgrad_call(
+        x_stack, ct_stack, n_t=n_t, t_tile=t_tile, q_taps=q_taps,
+        n_ci=n_ci, n_co=n_co, lanes_in=lanes_in, lanes_out=lanes_out,
+        flops=2 * b * m_out * q_taps * s * cin * cout,
+        bytes_accessed=(n_ci * rows_needed * lanes_in * n_co
+                        + n_t * t_tile * s * cout_p) * x.dtype.itemsize
+        + 4 * q_taps * cin_p * s * cout_p)
+    # dV [Q, cin_p, s, cout_p] -> scatter phases back onto tap indices
+    dv = g.reshape(n_ci, n_co, q_taps, cin_blk, s, cout_blk)
+    dv = dv.transpose(2, 0, 3, 4, 1, 5).reshape(q_taps, cin_p, s, cout_p)
+    j = np.arange(k)
+    rho_j = (pad_lo - j) % s
+    tau_j = (j - pad_lo + rho_j) // s - q_min
+    return dv[tau_j, :cin, rho_j, :cout]
+
+
+# ---------------------------------------------------------------------------
 # lowerings used by kernels.primitives + public API
 # ---------------------------------------------------------------------------
 
@@ -591,6 +801,110 @@ def convt1d_ba_lowered(x, w, bias, stride, pad_lo, out_len, act, slope,
         return _apply_act(y + bias.astype(y.dtype), act, slope)
     return _convt_pallas(x, w, stride, pad_lo, out_len,
                          bias=bias, act=act, slope=slope)
+
+
+# ---------------------------------------------------------------------------
+# weight-grad lowerings (audiogan_conv1d_wgrad / convt1d_wgrad)
+# ---------------------------------------------------------------------------
+
+def _auto_wgrad_impl(b: int, rows: int, cin: int, cout: int) -> str:
+    """Tier choice for the weight-grad contraction (impl="auto"). The
+    contraction depth is b*rows regardless of geometry (batch folds into
+    rows), so unlike fwd the tile economics barely depend on t_out —
+    gate on backend only until per-band measurements land."""
+    if not _auto_backend_ok():
+        return "xla"
+    return "pallas"
+
+
+def _conv1d_wgrad_xla(x, ct, s, pad_lo, k):
+    """Phase-grouped einsum stack (the original transpose_w body):
+    Q = ceil(K/s) einsums with s*cin-wide contractions."""
+    b, t_in, cin = x.shape
+    t_out = ct.shape[1]
+    cout = ct.shape[-1]
+    q_taps = _cdiv(k, s)
+    rows = t_out + q_taps - 1
+    back = rows * s - pad_lo - t_in
+    x_sh = jnp.pad(x, ((0, 0), (pad_lo, max(back, 0)),
+                       (0, 0)))[:, :rows * s]
+    x_rows = x_sh.reshape(b, rows, s * cin)
+    dwq = [jnp.einsum("btl,bto->lo",
+                      lax.slice_in_dim(x_rows, q, q + t_out, axis=1), ct,
+                      preferred_element_type=jnp.float32)
+           for q in range(q_taps)]
+    return jnp.stack(dwq).reshape(q_taps * s, cin, cout)[:k]
+
+
+def _convt1d_wgrad_xla(x, ct, s, pad_lo, out_len, k):
+    b, t_in, cin = x.shape
+    cout = ct.shape[-1]
+    if out_len % s == 0:
+        m_out = out_len // s
+        q_min = -(pad_lo // s)
+        q_max = (k + s - 2 - pad_lo) // s
+        q_taps = q_max - q_min + 1
+        rows = m_out + q_taps - 1
+        pad_back = rows + q_min - t_in
+        if pad_back < 0:
+            x, t_in, pad_back = x[:, :t_in + pad_back], t_in + pad_back, 0
+        x_pad = jnp.pad(x, ((0, 0), (-q_min, pad_back), (0, 0)))
+        ct_rows = ct.reshape(b, m_out, s * cout)
+        dvq = [jnp.einsum("btc,btl->cl",
+                          lax.slice_in_dim(x_pad, tau, tau + m_out, axis=1),
+                          ct_rows, preferred_element_type=jnp.float32)
+               for tau in range(q_taps)]
+        dv = jnp.stack(dvq).reshape(q_taps, cin, s, cout)
+        j = np.arange(k)
+        rho_j = (pad_lo - j) % s
+        tau_j = (j - pad_lo + rho_j) // s - q_min
+        return dv[tau_j, :, rho_j, :]
+    # rare non-aligned path: explicit input dilation.
+    # Forward: y[n] = sum_j xd[n + j - pad_lo] w[j], so
+    #   dw[j]  = sum_m xd[m] ct[m + pad_lo - j]
+    # (note the MINUS j: slicing ct at +j computes dw[2*pad_lo - j] — a tap
+    # reversal that broke 2nd-order CP grads once).
+    xd = jnp.zeros((x.shape[0], (t_in - 1) * s + 1, cin),
+                   x.dtype).at[:, ::s].set(x)
+    xd_len = xd.shape[1]
+    front = max(k - 1 - pad_lo, 0)
+    ct_pad = jnp.pad(ct, ((0, 0), (front, xd_len + k), (0, 0)))
+    dws = []
+    for j in range(k):
+        start = front + pad_lo - j
+        seg = lax.slice_in_dim(ct_pad, start, start + xd_len, axis=1)
+        dws.append(jnp.einsum("btc,bto->co", xd, seg,
+                              preferred_element_type=jnp.float32))
+    return jnp.stack(dws)
+
+
+def conv1d_wgrad_lowered(x, ct, stride, pad_lo, pad_hi, k, impl):
+    """dW of conv1d w.r.t. its kernel: [B,T,Cin] x [B,T',Cout] ->
+    [K,Cin,Cout] (x.dtype). Pallas tier: batch-folded stacked-row matmuls
+    (VERDICT r2 #1b); XLA tier: phase-grouped einsum stack."""
+    b, _, cin = x.shape
+    t_out, cout = ct.shape[1], ct.shape[-1]
+    if impl == "auto":
+        impl = _auto_wgrad_impl(b, b * t_out, cin, cout)
+    if impl == "pallas" and min(cin, cout) >= MIN_CH:
+        g = _conv1d_wgrad_pallas(x, ct, stride, pad_lo, k)
+        if g is not None:
+            return g.astype(x.dtype)
+    return _conv1d_wgrad_xla(x, ct, stride, pad_lo, k).astype(x.dtype)
+
+
+def convt1d_wgrad_lowered(x, ct, stride, pad_lo, out_len, k, impl):
+    """dW of conv_transpose1d w.r.t. its kernel -> [K,Cin,Cout]."""
+    b, _, cin = x.shape
+    cout = ct.shape[-1]
+    if impl == "auto":
+        impl = _auto_wgrad_impl(b, b * (out_len // stride), cin, cout)
+    if impl == "pallas" and min(cin, cout) >= MIN_CH:
+        g = _convt1d_wgrad_pallas(x, ct, stride, pad_lo, out_len, k)
+        if g is not None:
+            return g.astype(x.dtype)
+    return _convt1d_wgrad_xla(x, ct, stride, pad_lo, out_len, k).astype(
+        x.dtype)
 
 
 def _same_pads_public(t_in, k, stride, padding):

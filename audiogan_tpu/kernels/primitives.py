@@ -114,7 +114,9 @@ def _eager_impl(prim):
         fn = {"audiogan_conv1d": _conv1d_impl,
               "audiogan_convt1d": _convt1d_impl,
               "audiogan_conv1d_ba": _conv1d_ba_impl,
-              "audiogan_convt1d_ba": _convt1d_ba_impl}[prim.name]
+              "audiogan_convt1d_ba": _convt1d_ba_impl,
+              "audiogan_conv1d_wgrad": _conv1d_wgrad_impl,
+              "audiogan_convt1d_wgrad": _convt1d_wgrad_impl}[prim.name]
         return jax.jit(functools.partial(fn, **params))(*args)
     return impl
 
@@ -145,28 +147,12 @@ def _conv1d_transpose_x(ct, x, w, *, stride, pad_lo, pad_hi, impl):
 
 
 def _conv1d_transpose_w(ct, x, w, *, stride, pad_lo, pad_hi, impl):
-    # Phase-grouped: dW_q[(r,c), o] = sum_{b,t} x_rows[b, t+q, (r,c)] ct[b,t,o]
-    # with x_rows[m] = x_sh[m*s : (m+1)*s] flattened — Q = ceil(K/s) einsums
-    # with s*cin-wide contractions instead of K strided cin-wide ones
-    # (mirrors the forward kernel's tap grouping, kernels/conv.py).
-    k, cin, cout = w.aval.shape
-    s = stride
-    b, t_in, _ = x.shape
-    t_out = ct.shape[1]
-    q_taps = -(-k // s)
-    rows = t_out + q_taps - 1
-    # rows*s can undershoot pad_lo+t_in when (t_in+pads-k) % s != 0 (e.g.
-    # k=25, s=5 uncentered pads under 2nd-order AD): the tail samples no
-    # tap<k reads are then TRIMMED, not padded — a negative pad crashes.
-    back = rows * s - pad_lo - t_in
-    x_sh = jnp.pad(x, ((0, 0), (pad_lo, max(back, 0)),
-                       (0, 0)))[:, :rows * s]
-    x_rows = x_sh.reshape(b, rows, s * cin)
-    dwq = [jnp.einsum("btl,bto->lo",
-                      lax.slice_in_dim(x_rows, q, q + t_out, axis=1), ct,
-                      preferred_element_type=jnp.float32)
-           for q in range(q_taps)]
-    dw = jnp.stack(dwq).reshape(q_taps * s, cin, cout)[:k]
+    # routed through the wgrad PRIMITIVE (kernels/conv.py lowerings:
+    # Pallas stacked-row matmuls or the phase-grouped einsum stack), whose
+    # own transposes re-enter conv1d/convt1d — arbitrary-order AD holds
+    k = w.aval.shape[0]
+    dw = conv1d_wgrad_prim(x, ct, stride=stride, pad_lo=pad_lo,
+                           pad_hi=pad_hi, k=k, impl=impl)
     return dw.astype(w.aval.dtype)
 
 
@@ -180,55 +166,149 @@ def _convt1d_transpose_x(ct, x, w, *, stride, pad_lo, out_len, impl):
 
 
 def _convt1d_transpose_w(ct, x, w, *, stride, pad_lo, out_len, impl):
-    k, cin, cout = w.aval.shape
-    s = stride
-    b, t_in, _ = x.shape
-    if out_len % s == 0:
-        # Phase-grouped to match the forward kernel's output polyphase
-        # (kernels/conv.py _convt_pallas): for tap j = pad_lo - rho + q*s,
-        # dV_tau[c, (rho,o)] = sum_{b,m} x_pad[b, m+tau, c] ct_rows[b, m],
-        # tau = q - q_min — Q einsums with s*cout-wide outputs.
-        import numpy as np
-        m_out = out_len // s
-        q_min = -(pad_lo // s)
-        q_max = (k + s - 2 - pad_lo) // s
-        q_taps = q_max - q_min + 1
-        rows = m_out + q_taps - 1
-        pad_back = rows + q_min - t_in
-        if pad_back < 0:
-            x, t_in, pad_back = x[:, :t_in + pad_back], t_in + pad_back, 0
-        x_pad = jnp.pad(x, ((0, 0), (-q_min, pad_back), (0, 0)))
-        ct_rows = ct.reshape(b, m_out, s * cout)
-        dvq = [jnp.einsum("btc,btl->cl",
-                          lax.slice_in_dim(x_pad, tau, tau + m_out, axis=1),
-                          ct_rows, preferred_element_type=jnp.float32)
-               for tau in range(q_taps)]
-        dv = jnp.stack(dvq).reshape(q_taps, cin, s, cout)
-        j = np.arange(k)
-        rho_j = (pad_lo - j) % s
-        tau_j = (j - pad_lo + rho_j) // s - q_min
-        return dv[tau_j, :, rho_j, :].astype(w.aval.dtype)
-    # rare non-aligned path: explicit input dilation.
-    # Forward: y[n] = sum_j xd[n + j - pad_lo] w[j], so
-    #   dw[j]  = sum_m xd[m] ct[m + pad_lo - j]
-    # (note the MINUS j: an earlier version sliced ct at +j, which computes
-    # dw[2*pad_lo - j] — a tap reversal that broke 2nd-order CP grads).
-    xd = jnp.zeros((x.shape[0], (t_in - 1) * s + 1, cin),
-                   x.dtype).at[:, ::s].set(x)
-    xd_len = xd.shape[1]
-    front = max(k - 1 - pad_lo, 0)
-    ct_pad = jnp.pad(ct, ((0, 0), (front, xd_len + k), (0, 0)))
-    dws = []
-    for j in range(k):
-        start = front + pad_lo - j
-        seg = lax.slice_in_dim(ct_pad, start, start + xd_len, axis=1)
-        dws.append(jnp.einsum("btc,bto->co", xd, seg,
-                              preferred_element_type=jnp.float32))
-    return jnp.stack(dws).astype(w.aval.dtype)
+    # see _conv1d_transpose_w — routed through the wgrad primitive
+    k = w.aval.shape[0]
+    dw = convt1d_wgrad_prim(x, ct, stride=stride, pad_lo=pad_lo,
+                            out_len=out_len, k=k, impl=impl)
+    return dw.astype(w.aval.dtype)
 
 
 ad.defbilinear(conv1d_p, _conv1d_transpose_x, _conv1d_transpose_w)
 ad.defbilinear(convt1d_p, _convt1d_transpose_x, _convt1d_transpose_w)
+
+
+# ---------------------------------------------------------------------------
+# weight-grad primitives (VERDICT r2 #1b)
+#
+# dW is BILINEAR in (x, ct): with the trilinear form F(x, w, ct) =
+# <conv(x, w), ct>, the three partial maps are conv (d/d ct), the data
+# gradient (d/dx) and the weight gradient (d/dw). Registering the weight
+# gradient as its own primitive lets the Pallas stacked-row kernel
+# (kernels/conv.py _conv1d_wgrad_pallas) carry the hot contraction while
+# its transposes re-enter conv1d_prim/convt1d_prim — so gradients OF
+# gradients (any order) stay inside this primitive set.
+# ---------------------------------------------------------------------------
+
+conv1d_wgrad_p = jex_core.Primitive("audiogan_conv1d_wgrad")
+convt1d_wgrad_p = jex_core.Primitive("audiogan_convt1d_wgrad")
+
+
+def conv1d_wgrad_prim(x, ct, stride: int, pad_lo: int, pad_hi: int,
+                      k: int, impl: str = "pallas"):
+    x, ct = standard_insert_pvary(x, ct)
+    return conv1d_wgrad_p.bind(x, ct, stride=stride, pad_lo=pad_lo,
+                               pad_hi=pad_hi, k=k, impl=impl)
+
+
+def convt1d_wgrad_prim(x, ct, stride: int, pad_lo: int, out_len: int,
+                       k: int, impl: str = "pallas"):
+    x, ct = standard_insert_pvary(x, ct)
+    return convt1d_wgrad_p.bind(x, ct, stride=stride, pad_lo=pad_lo,
+                                out_len=out_len, k=k, impl=impl)
+
+
+def _conv1d_wgrad_impl(x, ct, *, stride, pad_lo, pad_hi, k, impl):
+    from audiogan_tpu.kernels.conv import conv1d_wgrad_lowered
+    return conv1d_wgrad_lowered(x, ct, stride, pad_lo, pad_hi, k, impl)
+
+
+def _convt1d_wgrad_impl(x, ct, *, stride, pad_lo, out_len, k, impl):
+    from audiogan_tpu.kernels.conv import convt1d_wgrad_lowered
+    return convt1d_wgrad_lowered(x, ct, stride, pad_lo, out_len, k, impl)
+
+
+def _wgrad_out_aval(prim, x, ct, k):
+    cin, cout = x.shape[-1], ct.shape[-1]
+    vma = standard_vma_rule(prim.name, x, ct)
+    if vma:
+        return ShapedArray((k, cin, cout), x.dtype, vma=vma,
+                           sharding=x.sharding)
+    return ShapedArray((k, cin, cout), x.dtype)
+
+
+def _conv1d_wgrad_abstract(x, ct, *, stride, pad_lo, pad_hi, k, impl):
+    assert x.shape[0] == ct.shape[0], (x.shape, ct.shape)
+    return _wgrad_out_aval(conv1d_wgrad_p, x, ct, k)
+
+
+def _convt1d_wgrad_abstract(x, ct, *, stride, pad_lo, out_len, k, impl):
+    assert x.shape[0] == ct.shape[0], (x.shape, ct.shape)
+    return _wgrad_out_aval(convt1d_wgrad_p, x, ct, k)
+
+
+conv1d_wgrad_p.def_abstract_eval(_conv1d_wgrad_abstract)
+convt1d_wgrad_p.def_abstract_eval(_convt1d_wgrad_abstract)
+conv1d_wgrad_p.def_impl(_eager_impl(conv1d_wgrad_p))
+convt1d_wgrad_p.def_impl(_eager_impl(convt1d_wgrad_p))
+
+mlir.register_lowering(
+    conv1d_wgrad_p, mlir.lower_fun(_conv1d_wgrad_impl,
+                                   multiple_results=False))
+mlir.register_lowering(
+    convt1d_wgrad_p, mlir.lower_fun(_convt1d_wgrad_impl,
+                                    multiple_results=False))
+
+
+def _conv1d_wgrad_transpose_x(g, x, ct, *, stride, pad_lo, pad_hi, k,
+                              impl):
+    # dF/dx with w := g — exactly _conv1d_transpose_x's convt form
+    t_in = x.aval.shape[1]
+    return convt1d_prim(ct, _flip(g.astype(ct.dtype)), stride=stride,
+                        pad_lo=k - 1 - pad_lo, out_len=t_in, impl=impl)
+
+
+def _conv1d_wgrad_transpose_ct(g, x, ct, *, stride, pad_lo, pad_hi, k,
+                               impl):
+    # dF/d ct with w := g — the forward conv
+    return conv1d_prim(x, g.astype(x.dtype), stride=stride, pad_lo=pad_lo,
+                       pad_hi=pad_hi, impl=impl)
+
+
+def _convt1d_wgrad_transpose_x(g, x, ct, *, stride, pad_lo, out_len, k,
+                               impl):
+    t_in = x.aval.shape[1]
+    lo = k - 1 - pad_lo
+    hi = (t_in - 1) * stride + k - lo - out_len
+    return conv1d_prim(ct, _flip(g.astype(ct.dtype)), stride=stride,
+                       pad_lo=lo, pad_hi=max(hi, 0), impl=impl)
+
+
+def _convt1d_wgrad_transpose_ct(g, x, ct, *, stride, pad_lo, out_len, k,
+                                impl):
+    return convt1d_prim(x, g.astype(x.dtype), stride=stride, pad_lo=pad_lo,
+                        out_len=out_len, impl=impl)
+
+
+ad.defbilinear(conv1d_wgrad_p, _conv1d_wgrad_transpose_x,
+               _conv1d_wgrad_transpose_ct)
+ad.defbilinear(convt1d_wgrad_p, _convt1d_wgrad_transpose_x,
+               _convt1d_wgrad_transpose_ct)
+
+
+def _wgrad_batch_rule(prim):
+    # defensive (the training path reaches wgrad only inside lax.map /
+    # scan transposes, never vmap): evaluate per-slice under lax.map
+    def rule(args, dims, **params):
+        x, ct = args
+        dx, dct = dims
+        if dx is None:
+            x = jnp.broadcast_to(x[None], (ct.shape[dct],) + x.shape)
+            dx = 0
+        if dct is None:
+            ct = jnp.broadcast_to(ct[None], (x.shape[dx],) + ct.shape)
+            dct = 0
+        x = jnp.moveaxis(x, dx, 0)
+        ct = jnp.moveaxis(ct, dct, 0)
+        out = jax.lax.map(
+            lambda xc: prim.bind(xc[0], xc[1], **params), (x, ct))
+        return out, 0
+    return rule
+
+
+batching.primitive_batchers[conv1d_wgrad_p] = _wgrad_batch_rule(
+    conv1d_wgrad_p)
+batching.primitive_batchers[convt1d_wgrad_p] = _wgrad_batch_rule(
+    convt1d_wgrad_p)
 
 
 # ---------------------------------------------------------------------------

@@ -87,7 +87,10 @@ class GRUGenerator(nn.Module):
         w_i_, w_h_, b_i_, b_h_ = (p.astype(dt) for p in (w_i, w_h, b_i, b_h))
         w_ar_, w_out_, b_out_ = (p.astype(dt) for p in (w_ar, w_out, b_out))
 
-        if self.kernels in ("pallas", "auto"):  # the fused scan WINS on-HW
+        from audiogan_tpu.kernels.conv import _auto_backend_ok
+        use_fused = (self.kernels == "pallas"
+                     or (self.kernels == "auto" and _auto_backend_ok()))
+        if use_fused:  # the fused scan WINS on-HW
             # whole recurrence as ONE persistent TPU kernel (weights stay
             # resident in VMEM across frames — see kernels.gru.gru_scan)
             from audiogan_tpu.kernels import gru_scan

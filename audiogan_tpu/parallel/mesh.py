@@ -21,12 +21,17 @@ from audiogan_tpu.config import Config
 
 def make_mesh(cfg: Config, devices: list | None = None) -> Mesh:
     """Build the ('data', 'cp') mesh from cfg.mesh; uses the first dp*cp
-    devices. dp/cp of 1 are kept as size-1 axes so shardings are uniform."""
-    dp, cp = cfg.mesh.dp, cfg.mesh.cp
+    devices. dp/cp of 1 are kept as size-1 axes so shardings are uniform.
+    tp>1 appends a 'tp' axis (('data','cp','tp'), cp forced to 1 by
+    config.validate) for the channel-parallel critic (train/tp_step.py)."""
+    dp, cp, tp = cfg.mesh.dp, cfg.mesh.cp, cfg.mesh.tp
     devices = devices if devices is not None else jax.devices()
-    need = dp * cp
+    need = dp * cp * tp
     if len(devices) < need:
         raise ValueError(f"mesh needs {need} devices, have {len(devices)}")
+    if tp > 1:
+        dev = np.asarray(devices[:need]).reshape(dp, cp, tp)
+        return Mesh(dev, ("data", "cp", "tp"))
     dev = np.asarray(devices[:need]).reshape(dp, cp)
     return Mesh(dev, ("data", "cp"))
 

@@ -40,6 +40,9 @@ def make_multihost_mesh(cfg: Config) -> Mesh:
     inner axes exactly as in parallel.mesh over each slice's ICI."""
     import numpy as np
 
+    if cfg.mesh.tp > 1:
+        raise ValueError("tp>1 under multi-host/DCN is not supported "
+                         "(TP is an intra-slice ICI strategy)")
     n_slices = max(jax.process_count(), 1)
     if n_slices > 1:
         try:
@@ -57,6 +60,11 @@ def make_multihost_mesh(cfg: Config) -> Mesh:
             for d in sorted(jax.devices(),
                             key=lambda d: (d.process_index, d.id)):
                 by_proc.setdefault(d.process_index, []).append(d)
+            for pi, grp in by_proc.items():
+                if len(grp) < need:
+                    raise ValueError(
+                        f"process {pi} exposes {len(grp)} devices but the "
+                        f"mesh needs dp*cp={need} per slice")
             devs = [d for grp in by_proc.values() for d in grp[:need]]
             devices = np.asarray(devs)
     else:

@@ -31,6 +31,10 @@ from audiogan_tpu.ops.phase_shuffle import phase_shuffle
 
 
 def _slice_dim(a: jnp.ndarray, dim: int, idx, n: int) -> jnp.ndarray:
+    # dynamic_slice CLAMPS out-of-range starts, so a non-divisible channel
+    # dim would silently compute wrong scores instead of erroring (ADVICE r2)
+    assert a.shape[dim] % n == 0, \
+        f"tp={n} must divide dim {dim} of shape {a.shape}"
     blk = a.shape[dim] // n
     return lax.dynamic_slice_in_dim(a, idx * blk, blk, axis=dim)
 
@@ -42,6 +46,7 @@ def tp_discriminator_forward(
     axis: str = "tp",
     shuffle_key: jax.Array | None = None,
     labels: jnp.ndarray | None = None,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """Channel-parallel critic score [B] (== the unsharded
     WaveGANDiscriminator; column/row layer pairing over `axis`)."""
@@ -61,12 +66,12 @@ def tp_discriminator_forward(
             # column-parallel: slice output channels, no communication
             w_loc = _slice_dim(w, 2, idx, n_tp)
             b_loc = _slice_dim(b, 0, idx, n_tp)
-            h = conv1d(h, w_loc, stride=s, padding="SAME", impl="xla") + b_loc
+            h = conv1d(h, w_loc, stride=s, padding="SAME", impl=impl) + b_loc
             sharded = True
         else:
             # row-parallel: slice input channels, ONE psum restores full
             w_loc = _slice_dim(w, 1, idx, n_tp)
-            part = conv1d(h, w_loc, stride=s, padding="SAME", impl="xla")
+            part = conv1d(h, w_loc, stride=s, padding="SAME", impl=impl)
             h = lax.psum(part, axis) + b
             sharded = False
         h = jax.nn.leaky_relu(h, 0.2)

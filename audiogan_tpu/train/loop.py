@@ -76,7 +76,7 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
     state = create_train_state(cfg)
     n_g, n_d = param_count(state.params_g), param_count(state.params_d)
     print(f"[init] G params: {n_g:,}  D params: {n_d:,}  "
-          f"mesh: data={cfg.mesh.dp} cp={cfg.mesh.cp}  "
+          f"mesh: data={cfg.mesh.dp} cp={cfg.mesh.cp} tp={cfg.mesh.tp}  "
           f"devices: {len(jax.devices())}", flush=True)
 
     mngr = ckpt_lib.make_manager(workdir, keep=cfg.train.keep_ckpts)
@@ -92,6 +92,11 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
         # (shard_map with explicit halo/psum collectives, train/cp_step.py)
         from audiogan_tpu.train.cp_step import build_cp_train_step
         jit_step = build_cp_train_step(cfg, mesh)(state)
+    elif cfg.mesh.tp > 1:
+        # channel-parallel critic over 'tp' (Megatron-style col/row conv
+        # pairing, train/tp_step.py) composed with DP over 'data'
+        from audiogan_tpu.train.tp_step import build_tp_train_step
+        jit_step = build_tp_train_step(cfg, mesh)(state)
     else:
         step_fn = build_train_step(cfg)
         # Sharding comes in through the operands (device_put below): state

@@ -235,7 +235,8 @@ def main():
                          "preset (manual runs; the driver default is the "
                          "flagship single line)")
     ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--kernels", default=None, choices=["xla", "pallas"])
+    ap.add_argument("--kernels", default=None,
+                    choices=["xla", "pallas", "auto", "mixed"])
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"],
                     help="compute dtype (params stay f32); bf16 is the "

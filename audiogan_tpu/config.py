@@ -290,6 +290,23 @@ def dual_stft() -> Config:
     ).validate()
 
 
+def resample_22k() -> Config:
+    """On-device resampling on the data path (SURVEY C2, [B:5]
+    "resampling"): a 22050 Hz corpus feeding the 16 kHz model, so every
+    ingest runs the true-polyphase Kaiser-sinc conversion (up/down =
+    320/441) before crop/normalize/mu-law. Store 24000 source samples
+    (~1.09 s) -> 17415 model-rate samples, leaving random-crop slack
+    around the 16384-sample clip. CPU-runnable like tiny_sc09."""
+    return Config(
+        name="resample_22k",
+        data=DataCfg(sample_rate=16000, source_rate=22050,
+                     clip_len=16384, store_len=24000, num_classes=0),
+        model=ModelCfg(generator="wavegan", model_dim=16, max_channels=256),
+        loss=LossCfg(n_critic=2),
+        train=TrainCfg(batch_size=8, total_steps=2000, log_every=10),
+    ).validate()
+
+
 def music_44k_dp16() -> Config:
     """[B:11] 4 s 44.1 kHz music clips, data-parallel WGAN-GP over 16 chips.
 
@@ -314,6 +331,7 @@ PRESETS = {
     "wgan_gp_b64": wgan_gp_b64,
     "cond_gru_sc09": cond_gru_sc09,
     "dual_stft": dual_stft,
+    "resample_22k": resample_22k,
     "music_44k_dp16": music_44k_dp16,
 }
 

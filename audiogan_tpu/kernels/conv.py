@@ -208,11 +208,14 @@ def _rowconv_call(x_rows, w_taps, *, b, n_t, t_tile, q_taps, n_ci, n_co,
     args = [x_rows, w_taps]
     if bias is not None:
         # epilogue bias: one [lanes_out] f32 row per cout block, added to
-        # the accumulator on its final visit (before the activation)
-        in_specs.append(pl.BlockSpec((1, lanes_out),
-                                     lambda b_, t_, co_, ci_: (co_, 0),
+        # the accumulator on its final visit (before the activation). The
+        # singleton middle dim keeps the block's trailing two dims equal
+        # to the array's (Mosaic rejects a (1, lanes) block over an
+        # (n_co>1, lanes) array: 1 is neither 8-divisible nor == n_co).
+        in_specs.append(pl.BlockSpec((1, 1, lanes_out),
+                                     lambda b_, t_, co_, ci_: (co_, 0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(bias.astype(jnp.float32))
+        args.append(bias.astype(jnp.float32).reshape(-1, 1, lanes_out))
     return pl.pallas_call(
         functools.partial(_rowconv_kernel, q_taps=q_taps, t_tile=t_tile,
                           rows_tile=rows_tile, grid_dims=grid, act=act,

@@ -61,24 +61,31 @@ def _rows_blk(batch: int, store_len: int, clip_len: int) -> int:
 
 
 def _kernel(offs_ref, x_ref, o_ref, *, rows_blk, clip_len, mode, target,
-            mu, eps, valid_len):
+            mu, eps, valid_len, zero_slack):
     gb = pl.program_id(0)
     # cast the whole block up front: Mosaic's dynamic rotate wants 32-bit
     # lanes (vector<...xi16> rotate fails to lower), and the cast is one
     # VPU pass either way
     xf = x_ref[...].astype(jnp.float32) * (1.0 / 32768.0)
     n = xf.shape[-1]
-    rows = []
-    for i in range(rows_blk):  # static unroll over the block's rows
-        off = offs_ref[gb * rows_blk + i]
-        # rotate left by off => wanted window sits at [:clip_len] (static).
-        # Expressed as a POSITIVE right-rotation by (n-off) % n: hardware
-        # dynamic_rotate mishandles shifts outside [0, n) (wrong values on
-        # HW for negatives 2026-08-17; interpret mode reduces mod n and
-        # masks it) and off=0 would otherwise pass shift == n exactly.
-        row = pltpu.roll(xf[i:i + 1, :], (n - off) % n, 1)
-        rows.append(row[:, :clip_len])
-    x = jnp.concatenate(rows, axis=0)
+    if zero_slack:
+        # store_len == clip_len (the flagship geometry): every crop offset
+        # is 0, so the per-row dynamic rotate — the kernel's dominant VPU
+        # cost — drops out statically
+        x = xf[:, :clip_len]
+    else:
+        rows = []
+        for i in range(rows_blk):  # static unroll over the block's rows
+            off = offs_ref[gb * rows_blk + i]
+            # rotate left by off => wanted window sits at [:clip_len]
+            # (static). Expressed as a POSITIVE right-rotation by
+            # (n-off) % n: hardware dynamic_rotate mishandles shifts
+            # outside [0, n) (wrong values on HW for negatives 2026-08-17;
+            # interpret mode reduces mod n and masks it) and off=0 would
+            # otherwise pass shift == n exactly.
+            row = pltpu.roll(xf[i:i + 1, :], (n - off) % n, 1)
+            rows.append(row[:, :clip_len])
+        x = jnp.concatenate(rows, axis=0)
     if valid_len != clip_len:
         # lane-alignment pad (ingest_fused): zero the tail so reductions
         # see only the true crop; the caller slices it off the output
@@ -140,7 +147,8 @@ def ingest_fused(
     )
     kernel = functools.partial(
         _kernel, rows_blk=rb, clip_len=clip_pad, mode=mode,
-        target=float(target), mu=mu, eps=float(eps), valid_len=clip_len)
+        target=float(target), mu=mu, eps=float(eps), valid_len=clip_len,
+        zero_slack=(s == clip_len))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -165,7 +165,8 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
                                     "train_audio_sec_per_sec": audio_sec})
             t_log = time.time()
 
-        if (step + 1) % cfg.train.ckpt_every == 0 or step + 1 == total:
+        if (cfg.train.ckpt_every and (step + 1) % cfg.train.ckpt_every == 0
+                ) or step + 1 == total:
             ckpt_lib.save(mngr, jax.device_get(state))
 
         if cfg.train.sample_every and (step + 1) % cfg.train.sample_every == 0:

@@ -94,6 +94,9 @@ class TrainCfg:
     keep_ckpts: int = 3
     seed: int = 0
     remat_discriminator: bool = True   # checkpoint D fwd inside the n_critic scan
+    scan_unroll: int = 1            # unroll factor for the n_critic scan
+                                    # (>1 lets XLA software-pipeline across
+                                    # micro-steps at higher compile cost)
     kernels: str = "xla"            # xla | pallas — A1 fast path selector
     # optional per-net overrides ("" inherits `kernels`): the measured
     # optimum on this chip is G=pallas, D=xla (scripts/step_bisect.py;

@@ -714,25 +714,30 @@ def _auto_backend_ok() -> bool:
     return _INTERPRET or jax.default_backend() == "tpu"
 
 
-def _auto_conv1d_impl(b: int, t_out: int, cin: int, cout: int) -> str:
+def _auto_conv1d_impl(b: int, t_out: int, cin: int, cout: int,
+                      stride: int = 4) -> str:
     """Per-geometry tier choice for impl="auto". Resolved at trace time
     inside the lowering, so every AD-generated conv picks its own best
     tier for ITS geometry. bf16 flagship layers, interleaved fwd+vjp
     (scripts/kernel_bench.py 2026-08-17, pallas/xla time ratios):
     t_out=1024 1.05/0.93, t_out=256 0.85/0.67 (batch-collapse sweet spot),
     t_out=64 0.96/1.23, t_out=16 1.10/1.06 — only the mid band wins both
-    directions."""
-    if not _auto_backend_ok():
+    directions. Bands are measured at stride 4; the music strides
+    (7/7/5/5/3, --sets music same script) measured 0.95-1.43 fwd /
+    1.00-1.72 dx with no reliable win, so auto keeps XLA off-stride-4."""
+    if not _auto_backend_ok() or stride != 4:
         return "xla"
     return "pallas" if (b > 1 and 128 <= t_out <= 512) else "xla"
 
 
-def _auto_convt1d_impl(b: int, m_out: int, cin: int, cout: int) -> str:
+def _auto_convt1d_impl(b: int, m_out: int, cin: int, cout: int,
+                       stride: int = 4) -> str:
     """convT tier choice for impl="auto". bf16 measured (same run):
     m_out=1024 0.79/0.99, m_out=256 0.84/1.01, m_out=64 1.00/0.89 — all
     win; m_out=16 0.95/1.06 is a wash-to-loss (per-call overhead on a
-    16-row grid)."""
-    if not _auto_backend_ok():
+    16-row grid). Stride-4 bands; music strides measured 0.95-1.30 fwd
+    with dx/dw up to 1.99 (m_out=11760) — XLA off-stride-4."""
+    if not _auto_backend_ok() or stride != 4:
         return "xla"
     return "pallas" if m_out >= 64 else "xla"
 
@@ -744,7 +749,8 @@ def conv1d_lowered(x, w, stride, pad_lo, pad_hi, impl="pallas"):
     t_in = x.shape[1]
     t_out = (t_in + pad_lo + pad_hi - k) // stride + 1
     if impl == "auto":
-        impl = _auto_conv1d_impl(x.shape[0], t_out, cin, cout)
+        impl = _auto_conv1d_impl(x.shape[0], t_out, cin, cout,
+                                 stride)
     if impl != "pallas" or min(cin, cout) < MIN_CH:
         return lax.conv_general_dilated(
             x, w, window_strides=(stride,), padding=[(pad_lo, pad_hi)],
@@ -761,7 +767,7 @@ def convt1d_lowered(x, w, stride, pad_lo, out_len, impl="pallas"):
     k, cin, cout = w.shape
     if impl == "auto":
         impl = _auto_convt1d_impl(x.shape[0], _cdiv(out_len, stride),
-                                  cin, cout)
+                                  cin, cout, stride)
     if (impl != "pallas" or min(cin, cout) < MIN_CH
             or out_len % stride != 0):
         return _convt_polyphase_xla(x, w, stride, pad_lo, out_len)
@@ -780,7 +786,8 @@ def conv1d_ba_lowered(x, w, bias, stride, pad_lo, pad_hi, act, slope, impl):
     k, cin, cout = w.shape
     t_out = (x.shape[1] + pad_lo + pad_hi - k) // stride + 1
     if impl == "auto":
-        impl = _auto_conv1d_impl(x.shape[0], t_out, cin, cout)
+        impl = _auto_conv1d_impl(x.shape[0], t_out, cin, cout,
+                                 stride)
     if impl != "pallas" or min(cin, cout) < MIN_CH:
         y = lax.conv_general_dilated(
             x, w, window_strides=(stride,), padding=[(pad_lo, pad_hi)],
@@ -797,7 +804,7 @@ def convt1d_ba_lowered(x, w, bias, stride, pad_lo, out_len, act, slope,
     k, cin, cout = w.shape
     if impl == "auto":
         impl = _auto_convt1d_impl(x.shape[0], _cdiv(out_len, stride),
-                                  cin, cout)
+                                  cin, cout, stride)
     if (impl != "pallas" or min(cin, cout) < MIN_CH
             or out_len % stride != 0):
         y = _convt_polyphase_xla(x, w, stride, pad_lo, out_len)
@@ -811,13 +818,15 @@ def convt1d_ba_lowered(x, w, bias, stride, pad_lo, out_len, act, slope,
 # ---------------------------------------------------------------------------
 
 def _auto_wgrad_impl(b: int, rows: int, cin: int, cout: int) -> str:
-    """Tier choice for the weight-grad contraction (impl="auto"). The
-    contraction depth is b*rows regardless of geometry (batch folds into
-    rows), so unlike fwd the tile economics barely depend on t_out —
-    gate on backend only until per-band measurements land."""
-    if not _auto_backend_ok():
-        return "xla"
-    return "pallas"
+    """Tier choice for the weight-grad contraction (impl="auto").
+    Measured 2026-08-17 (scripts/kernel_bench.py --parts dw, bf16): the
+    Pallas wgrad kernels LOSE to the phase-grouped XLA einsum stack at
+    every flagship geometry (ratios 1.06-1.28) and every music geometry
+    (1.05-1.99), and routing them under auto dragged the step-level auto
+    tier from 1.00x to 0.97x vs xla (10-round interleaved compare).
+    auto therefore keeps the einsum stack; the kernels remain reachable
+    under the uniform --kernels pallas tier."""
+    return "xla"
 
 
 def _conv1d_wgrad_xla(x, ct, s, pad_lo, k):

@@ -188,16 +188,42 @@ def _gru_scan_xla(h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out, b_out,
     return jnp.transpose(feats, (1, 0, 2))      # [B, n_frames, F]
 
 
+def _gru_scan_kernel_h(h0_ref, cond_ref, wi_ref, wh_ref, bi_ref, bh_ref,
+                       war_ref, wout_ref, bout_ref, o_ref, oh_ref, h_s, f_s,
+                       *, hid):
+    """Forward scan step that ALSO emits the hidden-state sequence — the
+    residual the fused backward kernel needs (the recurrence is not
+    invertible, so h_t cannot be recomputed during the reverse sweep)."""
+    _gru_scan_kernel(h0_ref, cond_ref, wi_ref, wh_ref, bi_ref, bh_ref,
+                     war_ref, wout_ref, bout_ref, o_ref, h_s, f_s, hid=hid)
+    oh_ref[0] = h_s[...].astype(oh_ref.dtype)
+
+
 def _gru_scan_impl(h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out, b_out,
-                   n_frames):
+                   n_frames, with_h=False):
     b, hid = h0.shape
     feat = w_ar.shape[0]
-    weight_bytes = 4 * (w_i.size + w_h.size + w_ar.size + w_out.size)
+    # VMEM-resident weight bytes at the STORED dtype (bf16 training halves
+    # the footprint; the kernels cast up to f32 per-use in registers)
+    weight_bytes = jnp.dtype(w_i.dtype).itemsize * (
+        w_i.size + w_h.size + w_ar.size + w_out.size)
     if weight_bytes > _MAX_VMEM_WEIGHTS:
-        return _gru_scan_xla(h0, cond_proj, w_i, w_h, b_i, b_h, w_ar,
-                             w_out, b_out, n_frames)
+        out = _gru_scan_xla(h0, cond_proj, w_i, w_h, b_i, b_h, w_ar,
+                            w_out, b_out, n_frames)
+        return (out, None, None) if with_h else out
+    kern = (functools.partial(_gru_scan_kernel_h, hid=hid) if with_h
+            else functools.partial(_gru_scan_kernel, hid=hid))
+    out_specs = pl.BlockSpec((1, b, feat), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_frames, b, feat), h0.dtype)
+    if with_h:
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, b, hid), lambda t: (t, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((n_frames, b, hid), h0.dtype)]
     out = pl.pallas_call(
-        functools.partial(_gru_scan_kernel, hid=hid),
+        kern,
         grid=(n_frames,),
         in_specs=[
             pl.BlockSpec(h0.shape, lambda t: (0, 0),
@@ -219,9 +245,8 @@ def _gru_scan_impl(h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out, b_out,
             pl.BlockSpec((1, feat), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, b, feat), lambda t: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_frames, b, feat), h0.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((b, hid), jnp.float32),
             pltpu.VMEM((b, feat), jnp.float32),
@@ -234,6 +259,9 @@ def _gru_scan_impl(h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out, b_out,
         interpret=_INTERPRET,
     )(h0, cond_proj, w_i, w_h, b_i[None, :], b_h[None, :], w_ar, w_out,
       b_out[None, :])
+    if with_h:
+        feats_nbf, h_seq = out
+        return jnp.transpose(feats_nbf, (1, 0, 2)), feats_nbf, h_seq
     return jnp.transpose(out, (1, 0, 2))        # [B, n_frames, F]
 
 
@@ -250,17 +278,180 @@ def gru_scan(h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out, b_out,
 
 def _gru_scan_fwd(h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out, b_out,
                   n_frames):
-    out = _gru_scan_impl(h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out,
-                         b_out, n_frames)
-    return out, (h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out, b_out)
+    out, feats_nbf, h_seq = _gru_scan_impl(
+        h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out, b_out, n_frames,
+        with_h=True)
+    return out, (h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out, b_out,
+                 feats_nbf, h_seq)
+
+
+def _gru_scan_bwd_kernel(g_ref, pf_ref, ph_ref, cond_ref, wi_ref, wh_ref,
+                         bi_ref, bh_ref, war_ref, wout_ref, bout_ref,
+                         dh0_ref, dcond_ref, dwi_ref, dwh_ref, dbi_ref,
+                         dbh_ref, dwar_ref, dwout_ref, dbout_ref,
+                         dh_s, dfc_s, dwi_s, dwh_s, dbi_s, dbh_s, dwar_s,
+                         dwout_s, dbout_s, dcond_s, *, hid, feat, n_frames):
+    """Reverse-sweep GRU-scan backward as ONE persistent kernel (the cuDNN
+    GRU-backward analog, VERDICT r2 #7): grid step p processes frame
+    t = n_frames-1-p, recomputing that frame's gates from the saved
+    (h_{t-1}, feat_{t-1}) residuals — one extra gate-matmul pass instead of
+    storing [n_frames, B, 3H] gate tensors — while every weight matrix AND
+    every weight-grad accumulator stays VMEM-resident across all frames.
+    The dL/dh and ar-path dL/dfeat carries live in VMEM scratch; outputs
+    are flushed once, on the final (t=0) visit."""
+    p = pl.program_id(0)
+    f32 = jnp.float32
+
+    @pl.when(p == 0)
+    def _():
+        for ref in (dh_s, dfc_s, dwi_s, dwh_s, dbi_s, dbh_s, dwar_s,
+                    dwout_s, dbout_s, dcond_s):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    prev_f = pf_ref[0].astype(f32)              # feat_{t-1} [B,F]
+    prev_h = ph_ref[0].astype(f32)              # h_{t-1}    [B,H]
+    cond = cond_ref[...].astype(f32)
+    wi = wi_ref[...].astype(f32)
+    wh = wh_ref[...].astype(f32)
+    war = war_ref[...].astype(f32)
+    wout = wout_ref[...].astype(f32)
+
+    def mm(a, b_, dims):                        # MXU matmul, f32 accum
+        return jax.lax.dot_general(a, b_, dimension_numbers=(dims, ((), ())),
+                                   preferred_element_type=f32)
+
+    # --- recompute frame t's forward intermediates (same math as fwd) ---
+    ar = mm(prev_f, war, ((1,), (0,)))
+    x = jnp.concatenate([ar, cond], axis=-1)
+    gi = mm(x, wi, ((1,), (0,))) + bi_ref[...]
+    gh = mm(prev_h, wh, ((1,), (0,))) + bh_ref[...]
+    i_r, i_z, i_n = gi[:, :hid], gi[:, hid:2 * hid], gi[:, 2 * hid:]
+    h_r, h_z, h_n = gh[:, :hid], gh[:, hid:2 * hid], gh[:, 2 * hid:]
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    h = (1.0 - z) * n + z * prev_h
+    feat_t = jnp.tanh(mm(h, wout, ((1,), (0,))) + bout_ref[...])
+
+    # --- frame-output head: feat_t = tanh(h @ wout + bout) ---
+    dfeat = g_ref[0].astype(f32) + dfc_s[...]   # output ct + ar-path carry
+    dfp = dfeat * (1.0 - feat_t * feat_t)
+    dwout_s[...] += mm(h, dfp, ((0,), (0,)))
+    dbout_s[...] += jnp.sum(dfp, axis=0, keepdims=True)
+    dh = dh_s[...] + mm(dfp, wout, ((1,), (1,)))
+
+    # --- GRU cell backward (torch gate convention, = _gru_bwd2) ---
+    dz = dh * (prev_h - n) * z * (1.0 - z)
+    dn = dh * (1.0 - z) * (1.0 - n * n)
+    dr = dn * h_n * r * (1.0 - r)
+    dgi = jnp.concatenate([dr, dz, dn], axis=-1)
+    dgh = jnp.concatenate([dr, dz, dn * r], axis=-1)
+    dx = mm(dgi, wi, ((1,), (1,)))
+    dh_prev = mm(dgh, wh, ((1,), (1,))) + dh * z
+    dwi_s[...] += mm(x, dgi, ((0,), (0,)))
+    dwh_s[...] += mm(prev_h, dgh, ((0,), (0,)))
+    dbi_s[...] += jnp.sum(dgi, axis=0, keepdims=True)
+    dbh_s[...] += jnp.sum(dgh, axis=0, keepdims=True)
+
+    # --- input split: ar half feeds feat_{t-1}, cond half accumulates ---
+    dar = dx[:, :feat]
+    dcond_s[...] += dx[:, feat:]
+    dwar_s[...] += mm(prev_f, dar, ((0,), (0,)))
+    dfc_s[...] = mm(dar, war, ((1,), (1,)))
+    dh_s[...] = dh_prev
+
+    @pl.when(p == n_frames - 1)
+    def _():
+        dh0_ref[...] = dh_s[...].astype(dh0_ref.dtype)
+        dcond_ref[...] = dcond_s[...].astype(dcond_ref.dtype)
+        dwi_ref[...] = dwi_s[...].astype(dwi_ref.dtype)
+        dwh_ref[...] = dwh_s[...].astype(dwh_ref.dtype)
+        dbi_ref[...] = dbi_s[...].astype(dbi_ref.dtype)
+        dbh_ref[...] = dbh_s[...].astype(dbh_ref.dtype)
+        dwar_ref[...] = dwar_s[...].astype(dwar_ref.dtype)
+        dwout_ref[...] = dwout_s[...].astype(dwout_ref.dtype)
+        dbout_ref[...] = dbout_s[...].astype(dbout_ref.dtype)
 
 
 def _gru_scan_bwd(n_frames, res, g):
-    # backward = vjp through the numerically-identical XLA scan (recomputes
-    # the forward once; G only ever needs first-order grads)
-    _, vjp = jax.vjp(
-        lambda *a: _gru_scan_xla(*a, n_frames=n_frames), *res)
-    return vjp(g)
+    (h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out, b_out,
+     feats_nbf, h_seq) = res
+    n_w = w_i.size + w_h.size + w_ar.size + w_out.size
+    # resident set = stored-dtype weights + f32 grad accumulators
+    weight_bytes = (jnp.dtype(w_i.dtype).itemsize + 4) * n_w
+    if feats_nbf is None or weight_bytes > _MAX_VMEM_WEIGHTS:
+        # forward fell back to XLA (or grads + weights overflow VMEM):
+        # backward = vjp through the numerically-identical XLA scan
+        _, vjp = jax.vjp(
+            lambda *a: _gru_scan_xla(*a, n_frames=n_frames),
+            h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out, b_out)
+        return vjp(g)
+
+    b, hid = h0.shape
+    feat = w_ar.shape[0]
+    in_dim = w_i.shape[0]
+    g_nbf = jnp.transpose(g, (1, 0, 2))         # [n_frames, B, F]
+    # shifted residuals: frame t's backward needs feat_{t-1} / h_{t-1}
+    prev_f = jnp.concatenate([jnp.zeros_like(feats_nbf[:1]),
+                              feats_nbf[:-1]], axis=0)
+    prev_h = jnp.concatenate([h0[None], h_seq[:-1]], axis=0)
+
+    rev = lambda t: (n_frames - 1 - t, 0, 0)
+    full2 = lambda shape: pl.BlockSpec(shape, lambda t: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    grads = pl.pallas_call(
+        functools.partial(_gru_scan_bwd_kernel, hid=hid, feat=feat,
+                          n_frames=n_frames),
+        grid=(n_frames,),
+        in_specs=[
+            pl.BlockSpec((1, b, feat), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, feat), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hid), rev, memory_space=pltpu.VMEM),
+            full2(cond_proj.shape), full2(w_i.shape), full2(w_h.shape),
+            full2((1, 3 * hid)), full2((1, 3 * hid)), full2(w_ar.shape),
+            full2(w_out.shape), full2((1, feat)),
+        ],
+        out_specs=[
+            full2((b, hid)), full2((b, feat)), full2((in_dim, 3 * hid)),
+            full2((hid, 3 * hid)), full2((1, 3 * hid)),
+            full2((1, 3 * hid)), full2((feat, feat)), full2((hid, feat)),
+            full2((1, feat)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hid), h0.dtype),
+            jax.ShapeDtypeStruct((b, feat), cond_proj.dtype),
+            jax.ShapeDtypeStruct((in_dim, 3 * hid), w_i.dtype),
+            jax.ShapeDtypeStruct((hid, 3 * hid), w_h.dtype),
+            jax.ShapeDtypeStruct((1, 3 * hid), b_i.dtype),
+            jax.ShapeDtypeStruct((1, 3 * hid), b_h.dtype),
+            jax.ShapeDtypeStruct((feat, feat), w_ar.dtype),
+            jax.ShapeDtypeStruct((hid, feat), w_out.dtype),
+            jax.ShapeDtypeStruct((1, feat), b_out.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, hid), jnp.float32),          # dh carry
+            pltpu.VMEM((b, feat), jnp.float32),         # ar-path dfeat carry
+            pltpu.VMEM((in_dim, 3 * hid), jnp.float32),
+            pltpu.VMEM((hid, 3 * hid), jnp.float32),
+            pltpu.VMEM((1, 3 * hid), jnp.float32),
+            pltpu.VMEM((1, 3 * hid), jnp.float32),
+            pltpu.VMEM((feat, feat), jnp.float32),
+            pltpu.VMEM((hid, feat), jnp.float32),
+            pltpu.VMEM((1, feat), jnp.float32),
+            pltpu.VMEM((b, feat), jnp.float32),         # dcond accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n_frames * b * (feat * feat
+                                      + 3 * hid * (2 * feat + hid)
+                                      + hid * feat),
+            bytes_accessed=2 * weight_bytes
+                           + 4 * n_frames * b * (2 * feat + hid),
+            transcendentals=8 * n_frames * b * hid),
+        interpret=_INTERPRET,
+    )(g_nbf, prev_f, prev_h, cond_proj, w_i, w_h, b_i[None, :],
+      b_h[None, :], w_ar, w_out, b_out[None, :])
+    (dh0, dcond, dwi, dwh, dbi, dbh, dwar, dwout, dbout) = grads
+    return (dh0, dcond, dwi, dwh, dbi[0], dbh[0], dwar, dwout, dbout[0])
 
 
 gru_scan.defvjp(_gru_scan_fwd, _gru_scan_bwd)

@@ -60,6 +60,20 @@ def _rows_blk(batch: int, store_len: int, clip_len: int) -> int:
     return rb
 
 
+def supported(batch: int, store_len: int, clip_len: int) -> bool:
+    """True iff this geometry lowers on Mosaic: the row-block must be the
+    whole batch or sublane-aligned (8-divisible). Very long store rows
+    (music: 220k samples) cap the VMEM row budget at rb<8 with rb!=batch,
+    which Mosaic rejects — those route to the XLA tier (ops/ingest.py
+    fallback contract)."""
+    if store_len < clip_len:
+        return False
+    s_pad = _round_up(store_len, 128)
+    clip_pad = _round_up(clip_len, 128)
+    rb = _rows_blk(batch, s_pad, clip_pad)
+    return rb == batch or rb % 8 == 0
+
+
 def _kernel(offs_ref, x_ref, o_ref, *, rows_blk, clip_len, mode, target,
             mu, eps, valid_len, zero_slack):
     gb = pl.program_id(0)

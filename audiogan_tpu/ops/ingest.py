@@ -43,18 +43,24 @@ def ingest_batch(
     crop), identity resample, int16 input, store >= clip. Both paths draw
     crop starts from ops.framing.crop_offsets, so they agree exactly.
     """
-    if (kernels == "pallas" and key is not None  # auto keeps XLA: measured
-            # 0.87x for the fused pass — ingest is bandwidth-bound
+    if (kernels in ("pallas", "auto") and key is not None
+            # auto selects the fused pass since the zero-slack/alignment
+            # rework: interleaved on-HW ratios 0.94-0.99 vs XLA at the
+            # flagship slack geometry (scripts/ingest_bench.py 2026-08-17;
+            # was 0.87x-slower pre-rework)
             and cfg.sample_rate == cfg.source_rate
             and raw.dtype == jnp.int16
-            and raw.shape[-1] >= cfg.clip_len
             and cfg.normalize in ("peak", "rms")):
-        from audiogan_tpu.kernels.ingest import ingest_fused
+        from audiogan_tpu.kernels.conv import _auto_backend_ok
+        from audiogan_tpu.kernels.ingest import ingest_fused, supported
 
         b, s = raw.shape
-        offs = crop_offsets(key, b, s - cfg.clip_len)
-        return ingest_fused(raw, offs, cfg.clip_len, cfg.normalize,
-                            cfg.norm_target, cfg.mu if cfg.mu_law else 0.0)
+        if supported(b, s, cfg.clip_len) and (
+                kernels == "pallas" or _auto_backend_ok()):
+            offs = crop_offsets(key, b, s - cfg.clip_len)
+            return ingest_fused(raw, offs, cfg.clip_len, cfg.normalize,
+                                cfg.norm_target,
+                                cfg.mu if cfg.mu_law else 0.0)
 
     x = raw.astype(jnp.float32) / 32768.0
     x = resample_poly(

@@ -150,7 +150,8 @@ def build_train_step(cfg: Config, axis_name: str | None = None
                  jnp.arange(n_critic, dtype=jnp.int32))
         carry = (state.params_d, state.opt_d, step_key)
         carry, d_metrics = jax.lax.scan(
-            functools.partial(d_micro_step, state.params_g), carry, views)
+            functools.partial(d_micro_step, state.params_g), carry, views,
+            unroll=min(cfg.train.scan_unroll, n_critic))
         params_d, opt_d_state, _ = carry
 
         # ---- one generator update ----

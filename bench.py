@@ -105,7 +105,7 @@ def bench_sample(cfg, n_warmup=2, n_iters=10, num=64):
 
 
 PRESETS = ["tiny_sc09", "wgan_gp_b64", "cond_gru_sc09", "dual_stft",
-           "music_44k_dp16"]
+           "resample_22k", "music_44k_dp16"]
 
 
 def bench_one(preset: str, dtype: str, kernels: str | None, steps: int,
@@ -143,6 +143,12 @@ def bench_one(preset: str, dtype: str, kernels: str | None, steps: int,
         "kernels_d": cfg.train.kernels_d or cfg.train.kernels,
         "dtype": cfg.train.dtype,
         "proxy_steps_per_sec": round(proxy, 5),
+        # secondary denominator (SURVEY §6 / VERDICT r2 #9): the eager
+        # un-jitted JAX-CPU proxy, reported alongside the primary
+        "proxy_jax_eager_steps_per_sec": round(
+            load_proxy("jax-cpu-eager"), 6),
+        "vs_jax_eager": round(steps_per_sec / load_proxy("jax-cpu-eager"),
+                              2),
     }
 
 

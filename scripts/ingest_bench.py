@@ -20,9 +20,13 @@ from audiogan_tpu.ops.framing import crop_offsets
 from audiogan_tpu.ops.ingest import ingest_batch
 
 GEOMS = [  # (name, B, store_len, clip_len) — slack = store - clip
-    ("flagship_slack0", 64, 16384, 16384),
+    ("flagship_slack0", 64, 16384, 16384),  # wgan_gp_b64: zero slack,
+                                            # static-crop fast path
+    ("slack32pc", 64, 24000, 16384),        # rotate path, generic slack
     ("slack50pc", 64, 24576, 16384),
-    ("music_slack25pc", 16, 220500, 176400),
+    # music (16, 220500 -> 176400) is NOT kernel-eligible: its row budget
+    # caps rb at 1 != batch, which Mosaic rejects — kernels/ingest.py
+    # supported() routes it to XLA (both paths identical, nothing to time)
 ]
 
 

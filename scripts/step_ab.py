@@ -1,0 +1,95 @@
+"""Generic interleaved step-level A/B on the real chip: each variant is a
+list of --set overrides on a preset; rounds rotate order to cancel the
+chip's throttle drift (BASELINE.md methodology).
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python scripts/step_ab.py \
+        --preset wgan_gp_b64 \
+        --variant base \
+        --variant unroll5=train.scan_unroll=5 \
+        [--rounds 5] [--steps 6] [--dtype bfloat16]
+
+Variant syntax: name[=ov1;ov2;...] (semicolon-separated key=value sets).
+"""
+
+from __future__ import annotations
+
+import argparse
+import statistics
+import sys
+import time
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="wgan_gp_b64")
+    ap.add_argument("--variant", action="append", required=True)
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+    print("backend:", jax.default_backend(), flush=True)
+
+    from audiogan_tpu.cli import apply_overrides
+    from audiogan_tpu.config import get_preset
+    from audiogan_tpu.train.state import create_train_state
+    from audiogan_tpu.train.step import build_train_step, num_views
+    from audiogan_tpu.utils.xla_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    runs = {}
+    for spec in args.variant:
+        name, _, ovs = spec.partition("=")
+        sets = [o for o in ovs.split(";") if o]
+        cfg = apply_overrides(get_preset(args.preset),
+                              [f"train.dtype={args.dtype}"] + sets)
+        state = create_train_state(cfg)
+        step = jax.jit(build_train_step(cfg), donate_argnums=(0,))
+        rng = np.random.default_rng(0)
+        n = num_views(cfg)
+        clips = (rng.standard_normal(
+            (n, cfg.train.batch_size, cfg.data.store_len)) * 8000
+        ).clip(-32768, 32767).astype(np.int16)
+        labels = rng.integers(0, max(cfg.data.num_classes, 1),
+                              size=(n, cfg.train.batch_size)).astype(np.int32)
+        t0 = time.perf_counter()
+        state, metrics = step(state, clips, labels)
+        state, metrics = step(state, clips, labels)
+        float(metrics["d_loss"])
+        print(f"{name}: compiled+warm in {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        runs[name] = [step, state, clips, labels, []]
+
+    order0 = list(runs)
+    for r in range(args.rounds):
+        order = order0[r % len(order0):] + order0[:r % len(order0)]
+        for name in order:
+            rec = runs[name]
+            step, state, clips, labels, times = rec
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                state, metrics = step(state, clips, labels)
+            float(metrics["d_loss"])
+            times.append(args.steps / (time.perf_counter() - t0))
+            rec[1] = state
+            print(f"  round {r} {name}: {times[-1]:.4f} steps/s", flush=True)
+
+    base_name = order0[0]
+    base = runs[base_name][4]
+    for name, rec in runs.items():
+        med = statistics.median(rec[4])
+        line = f"{name}: median {med:.4f} steps/s"
+        if name != base_name:
+            ratios = [t / b for t, b in zip(rec[4], base)]
+            line += f"  within-round ratio vs {base_name}: " \
+                    f"{statistics.median(ratios):.3f}"
+        print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main()

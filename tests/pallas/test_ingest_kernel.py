@@ -124,3 +124,35 @@ def test_rows_blocking_divides_batch(rng):
         out = ingest_batch(raw, cfg, jax.random.key(0), kernels="pallas")
         assert out.shape == (b, cfg.clip_len)
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_supported_gate():
+    """Mosaic sublane rule: the row block must be the whole batch or
+    8-divisible. The music geometry (b=16, 220500-sample rows) caps the
+    VMEM row budget at rb=1 != batch -> unsupported (XLA fallback)."""
+    from audiogan_tpu.kernels.ingest import supported
+    assert supported(64, 24000, 16384)          # flagship: rb=8
+    assert supported(4, 600, 384)               # tiny: rb==batch
+    assert not supported(16, 220500, 176400)    # music: rb=1, b=16
+    assert not supported(2, 100, 200)           # store < clip
+
+
+def test_music_geometry_falls_back(rng):
+    """kernels='pallas' on the (scaled) music geometry routes to the XLA
+    chain instead of a Mosaic lowering error; outputs match exactly."""
+    # scaled-down replica of the failing shape class: rb would be 1 != b
+    import audiogan_tpu.kernels.ingest as king
+    cfg = DataCfg(clip_len=2048, store_len=2560)
+    b = 16
+    raw = _raw(rng, b, cfg.store_len)
+    key = jax.random.key(1)
+    orig = king._VMEM_BUDGET
+    king._VMEM_BUDGET = 64 * 1024      # force rb=1 at this geometry
+    try:
+        assert not king.supported(b, cfg.store_len, cfg.clip_len)
+        a = ingest_batch(raw, cfg, key, kernels="pallas")
+    finally:
+        king._VMEM_BUDGET = orig
+    want = ingest_batch(raw, cfg, key, kernels="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)

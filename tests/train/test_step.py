@@ -100,3 +100,15 @@ def test_gp_chunked_step_matches(tiny_cfg):
     for k in h1[-1]:
         np.testing.assert_allclose(h1[-1][k], h2[-1][k], rtol=1e-4,
                                    atol=1e-5, err_msg=k)
+
+
+def test_scan_unroll_step_matches(tiny_cfg):
+    """train.scan_unroll only changes XLA scheduling, never semantics."""
+    import dataclasses
+    cfg_u = dataclasses.replace(
+        tiny_cfg, train=dataclasses.replace(tiny_cfg.train, scan_unroll=2))
+    _, h1 = _run_steps(tiny_cfg, 2)
+    _, h2 = _run_steps(cfg_u, 2)
+    for k in h1[-1]:
+        np.testing.assert_allclose(h1[-1][k], h2[-1][k], rtol=1e-5,
+                                   atol=1e-6, err_msg=k)

@@ -103,6 +103,7 @@ class TrainCfg:
     # BASELINE.md round 2)
     kernels_g: str = ""
     kernels_d: str = ""
+    kernels_ingest: str = ""        # "" inherits `kernels`
     dtype: str = "float32"          # compute dtype for conv stacks
     # observability (SURVEY §5): xplane trace window, optimized-HLO dump of
     # the single train-step graph, NaN debugging
@@ -150,7 +151,7 @@ class Config:
                 f"clip_len ({d.clip_len}); increase store_len")
         if self.train.batch_size % self.mesh.dp != 0:
             raise ValueError("batch_size must be divisible by mesh.dp")
-        for f in ("kernels", "kernels_g", "kernels_d"):
+        for f in ("kernels", "kernels_g", "kernels_d", "kernels_ingest"):
             v = getattr(self.train, f)
             if v not in (("xla", "pallas", "auto") if f == "kernels"
                          else ("", "xla", "pallas", "auto")):
@@ -251,12 +252,12 @@ def wgan_gp_b64() -> Config:
     """[B:8] Flagship: WGAN-GP + phase shuffle, batch 64, fused ingest.
 
     Default kernel tier is AUTO — every conv (including each AD-generated
-    conv in the GP double-backprop) picks the measured-best tier for ITS
-    geometry (kernels/conv.py _auto_*). Best tier in the deciding
-    10-round interleaved compare (BASELINE.md 2026-08-17): auto 1.00 vs
-    xla / ~1.05 vs the previous mixed default, with the most stable
-    per-round throughput. Override with --kernels xla|pallas for a
-    uniform tier.
+    conv in the GP double-backprop) and the fused ingest pick the
+    measured-best tier for THEIR geometry (kernels/conv.py _auto_*,
+    ops/ingest.py). Round-3 deciding A/B (BASELINE.md 2026-08-17): auto
+    == mixed within ±0.5% within-round, both >= xla, uniform pallas
+    0.88-0.94; auto additionally wins the GRU family outright (+4.3%).
+    Override with --kernels xla|pallas|mixed for the other tiers.
     """
     return Config(
         name="wgan_gp_b64",

@@ -107,8 +107,10 @@ def build_train_step(cfg: Config, axis_name: str | None = None
         k = jax.random.fold_in(step_key, idx)
         k_crop, k_z, k_eps, k_lab, k_s1, k_s2, k_s3 = jax.random.split(k, 7)
 
-        real = ingest_batch(raw, cfg.data, k_crop,
-                            kernels=cfg.train.kernels)[..., None]  # [B, T, 1]
+        real = ingest_batch(
+            raw, cfg.data, k_crop,
+            kernels=cfg.train.kernels_ingest or cfg.train.kernels,
+        )[..., None]                                               # [B, T, 1]
         b = real.shape[0]
         labels_fake = sample_labels(k_lab, b)
         z = jax.random.normal(k_z, (b, latent_dim))
@@ -151,7 +153,7 @@ def build_train_step(cfg: Config, axis_name: str | None = None
         carry = (state.params_d, state.opt_d, step_key)
         carry, d_metrics = jax.lax.scan(
             functools.partial(d_micro_step, state.params_g), carry, views,
-            unroll=min(cfg.train.scan_unroll, n_critic))
+            unroll=max(1, min(cfg.train.scan_unroll, n_critic)))
         params_d, opt_d_state, _ = carry
 
         # ---- one generator update ----
@@ -161,8 +163,9 @@ def build_train_step(cfg: Config, axis_name: str | None = None
         labels_g = sample_labels(k_lab, b)
 
         if stft_w > 0:
-            real_g = ingest_batch(raw[n_critic], cfg.data, k_crop,
-                                  kernels=cfg.train.kernels)
+            real_g = ingest_batch(
+                raw[n_critic], cfg.data, k_crop,
+                kernels=cfg.train.kernels_ingest or cfg.train.kernels)
 
         def g_loss_fn(p):
             z = jax.random.normal(k_z, (b, latent_dim))

@@ -316,6 +316,16 @@ def music_44k_dp16() -> Config:
 
     176400 = 48 * 3 * 5 * 5 * 7 * 7: per-layer strides (7, 7, 5, 5, 3)
     upsample a 48-frame base to the full clip.
+
+    Kernel tier: the default xla IS the measured optimum here — every
+    stride-7/5/3 geometry loses or ties on the Pallas tier
+    (kernel_bench --sets music, BASELINE.md r3), the stride-aware auto
+    router therefore routes the whole net to xla anyway (step-level:
+    auto 0.310 vs xla 0.306 steps/s — identical graphs, noise), and the
+    220500-sample store rows are Mosaic-ineligible for the fused ingest.
+    gp_batch_chunks stays 1 (chunking measured 3-7% slower; it exists to
+    bound GP memory, not for speed). Golden + on-HW fidelity coverage:
+    tests/helpers_golden.py case_music.
     """
     return Config(
         name="music_44k_dp16",

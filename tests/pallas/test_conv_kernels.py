@@ -148,3 +148,17 @@ def test_second_order_gp_composition_matches_xla(rng):
     g_x = jax.grad(gp_x)(w)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_auto_router_bands():
+    """The measured routing tables (BASELINE.md r3): stride-4 bands only;
+    off-stride-4 geometries and the wgrad contraction stay XLA."""
+    import audiogan_tpu.kernels.conv as kc
+    assert kc._auto_conv1d_impl(64, 256, 128, 256, 4) == "pallas"
+    assert kc._auto_conv1d_impl(64, 1024, 64, 128, 4) == "xla"   # off-band
+    assert kc._auto_conv1d_impl(64, 256, 128, 256, 7) == "xla"   # off-stride
+    assert kc._auto_convt1d_impl(64, 256, 256, 128, 4) == "pallas"
+    assert kc._auto_convt1d_impl(64, 16, 1024, 512, 4) == "xla"  # tiny grid
+    assert kc._auto_convt1d_impl(64, 2352, 256, 128, 5) == "xla"  # music
+    # wgrad: the Pallas kernels lose at every measured geometry -> XLA
+    assert kc._auto_wgrad_impl(64, 64 * 256, 128, 256) == "xla"

@@ -65,3 +65,23 @@ def test_train_step_mixed_tier_matches_xla():
     for k in mx:
         np.testing.assert_allclose(mm[k], mx[k], rtol=2e-2, atol=2e-3,
                                    err_msg=k)
+
+
+def test_ingest_tier_step_equality():
+    """kernels_ingest=pallas vs xla inside the FULL training step: both
+    draw crops from ops.framing.crop_offsets, so every metric matches."""
+    hist = {}
+    for tier in ("xla", "pallas"):
+        base = tiny_config()
+        cfg = dataclasses.replace(
+            base, train=dataclasses.replace(
+                base.train, kernels="xla", kernels_ingest=tier))
+        state = create_train_state(cfg)
+        step = jax.jit(build_train_step(cfg))
+        clips, labels = raw_batch(cfg, seed=0)
+        state, m = step(state, clips, labels)
+        state, m = step(state, clips, labels)
+        hist[tier] = jax.device_get(m)
+    for k in hist["xla"]:
+        np.testing.assert_allclose(hist["pallas"][k], hist["xla"][k],
+                                   rtol=2e-4, atol=1e-5, err_msg=k)

@@ -36,26 +36,33 @@ def maybe_initialize_distributed() -> bool:
 
 
 def make_multihost_mesh(cfg: Config) -> Mesh:
-    """('dcn', 'data', 'cp') mesh: dcn = slices (DP-only over DCN), the
-    inner axes exactly as in parallel.mesh over each slice's ICI."""
+    """('dcn', 'data', 'cp'[, 'tp']) mesh: dcn = slices, the inner axes
+    exactly as in parallel.mesh over each slice's ICI. Only DP rides DCN —
+    cp/tp shards live entirely within one slice, so their halo/psum
+    collectives stay on ICI; the dcn axis carries only the grad all-reduce
+    (SURVEY §2.4). cp>1 / tp>1 compose via train/cp_step.py /
+    train/tp_step.py, whose shard_map bodies shard the batch over
+    ('dcn','data') (tests/parallel/test_multihost.py, 2-process)."""
     import numpy as np
 
+    inner = (cfg.mesh.dp, cfg.mesh.cp)
+    axes = ("dcn", "data", "cp")
     if cfg.mesh.tp > 1:
-        raise ValueError("tp>1 under multi-host/DCN is not supported "
-                         "(TP is an intra-slice ICI strategy)")
+        inner += (cfg.mesh.tp,)
+        axes += ("tp",)
+    need = int(np.prod(inner))
     n_slices = max(jax.process_count(), 1)
     if n_slices > 1:
         try:
             from jax.experimental import mesh_utils
             devices = mesh_utils.create_hybrid_device_mesh(
-                mesh_shape=(cfg.mesh.dp, cfg.mesh.cp),
-                dcn_mesh_shape=(n_slices, 1),
+                mesh_shape=inner,
+                dcn_mesh_shape=(n_slices,) + (1,) * (len(inner) - 1),
                 devices=jax.devices())
         except Exception:
             # CPU farms lack slice_index attributes: group by process,
-            # which IS the DCN boundary, and take only the dp*cp devices
-            # each slice contributes (hosts may expose more)
-            need = cfg.mesh.dp * cfg.mesh.cp
+            # which IS the DCN boundary, and take only the dp*cp*tp
+            # devices each slice contributes (hosts may expose more)
             by_proc = {}
             for d in sorted(jax.devices(),
                             key=lambda d: (d.process_index, d.id)):
@@ -64,16 +71,14 @@ def make_multihost_mesh(cfg: Config) -> Mesh:
                 if len(grp) < need:
                     raise ValueError(
                         f"process {pi} exposes {len(grp)} devices but the "
-                        f"mesh needs dp*cp={need} per slice")
+                        f"mesh needs dp*cp*tp={need} per slice")
             devs = [d for grp in by_proc.values() for d in grp[:need]]
             devices = np.asarray(devs)
     else:
         # single process: degenerate dcn axis of size 1 (no DCN hardware
         # attributes to consult)
-        need = cfg.mesh.dp * cfg.mesh.cp
         devices = np.asarray(jax.devices()[:need])
-    return Mesh(devices.reshape(n_slices, cfg.mesh.dp, cfg.mesh.cp),
-                ("dcn", "data", "cp"))
+    return Mesh(devices.reshape((n_slices,) + inner), axes)
 
 
 def make_train_mesh(cfg: Config) -> Mesh:

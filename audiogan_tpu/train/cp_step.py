@@ -21,10 +21,16 @@ Numerics: with phase shuffle off, cp=N equals the unsharded step exactly
 Covers every model family: wavegan AND gru generators (gru via
 cp_gru_generator_forward's ppermute carry handoff), conv critic AND the
 [B:10] dual wave+STFT critic (hop-aligned frames + (win-hop) halo).
+
+Composes with the multi-host DCN tier: on a ('dcn','data','cp') hybrid
+mesh the batch is sharded over ('dcn','data') — dcn carries only the DP
+grad all-reduce while every cp collective stays on one slice's ICI
+(tests/parallel/test_multihost.py, mode "cp").
 """
 
 from __future__ import annotations
 
+import math
 from typing import Callable
 
 import jax
@@ -69,6 +75,12 @@ def build_cp_train_step(cfg: Config, mesh) -> Callable:
     latent = cfg.model.latent_dim
     opt_g, opt_d = make_optimizers(cfg)
     conditional = cfg.data.num_classes > 0
+    # on the multi-host hybrid mesh the batch axis spans ('dcn','data') —
+    # dcn is outermost, so the linearized replica index matches a
+    # single-process run at dp = dcn*data (parallel.multihost)
+    batch_axes = (("dcn", "data") if "dcn" in mesh.axis_names
+                  else ("data",))
+    n_data = math.prod(mesh.shape[a] for a in batch_axes)
 
     if cfg.model.generator == "gru":
         from audiogan_tpu.parallel.cp_models import cp_gru_generator_forward
@@ -87,17 +99,17 @@ def build_cp_train_step(cfg: Config, mesh) -> Callable:
         """Under check_vma=True the transpose of using replicated params in
         shard-varying compute already psums grads over BOTH mesh axes (see
         train/step.py _replica_mean): over 'cp' that sum IS the correct
-        total of the time-slice partials; over 'data' divide to get the
-        replica mean. Explicit psum/pmean here would scale by the axis
-        size (masked by Adam's exact invariance to uniform grad scale)."""
-        n = lax.axis_size("data")
-        return jax.tree.map(lambda g: g / n, tree)
+        total of the time-slice partials; over the batch axes ('data',
+        plus 'dcn' multi-host) divide to get the replica mean. Explicit
+        psum/pmean here would scale by the axis size (masked by Adam's
+        exact invariance to uniform grad scale)."""
+        return jax.tree.map(lambda g: g / n_data, tree)
 
     def body(state: TrainState, raw, labels):
         base = jax.random.wrap_key_data(state.base_key)
         (step_key,) = split_for_step(base, state.step, "step")
         # decorrelate data-parallel replicas; cp shards MUST share keys
-        step_key = jax.random.fold_in(step_key, lax.axis_index("data"))
+        step_key = jax.random.fold_in(step_key, lax.axis_index(batch_axes))
         cp_idx = lax.axis_index("cp")
         n_cp = lax.axis_size("cp")
         t_loc = cfg.data.clip_len // n_cp
@@ -166,7 +178,7 @@ def build_cp_train_step(cfg: Config, mesh) -> Callable:
 
         metrics = {k: v[-1] for k, v in d_metrics.items()}
         metrics["g_loss"] = g_loss
-        metrics = jax.lax.pmean(jax.lax.pmean(metrics, "data"), "cp")
+        metrics = jax.lax.pmean(jax.lax.pmean(metrics, batch_axes), "cp")
         new_state = state.replace(step=state.step + 1, params_g=params_g,
                                   params_d=params_d, opt_g=opt_g_state,
                                   opt_d=opt_d_state)
@@ -176,7 +188,8 @@ def build_cp_train_step(cfg: Config, mesh) -> Callable:
         specs = jax.tree.map(lambda _: P(), state)
         fn = jax.shard_map(
             body, mesh=mesh,
-            in_specs=(specs, P(None, "data", None), P(None, "data")),
+            in_specs=(specs, P(None, batch_axes, None),
+                      P(None, batch_axes)),
             out_specs=(specs, P()),
             check_vma=True)
         return jax.jit(fn, donate_argnums=(0,))

@@ -26,10 +26,16 @@ Numerics: with phase shuffle off, tp=N equals the unsharded step exactly
 tp_models' per-layer fold_in stream (identical on every tp shard, so the
 channel slicing commutes with the time shuffle) — deterministic but a
 different stream than the flax module's make_rng, like the cp step.
+
+Composes with the multi-host DCN tier: on a ('dcn','data','cp','tp')
+hybrid mesh the batch is sharded over ('dcn','data') — dcn carries only
+the DP grad all-reduce while every tp psum stays on one slice's ICI
+(tests/parallel/test_multihost.py, mode "tp").
 """
 
 from __future__ import annotations
 
+import math
 from typing import Callable
 
 import jax
@@ -57,6 +63,11 @@ def build_tp_train_step(cfg: Config, mesh) -> Callable:
     conditional = cfg.data.num_classes > 0
     impl_d = cfg.train.kernels_d or cfg.train.kernels
     g_mod = build_generator(cfg)
+    # multi-host hybrid mesh: batch spans ('dcn','data'), dcn outermost,
+    # so the linearized replica index matches single-process dp = dcn*data
+    batch_axes = (("dcn", "data") if "dcn" in mesh.axis_names
+                  else ("data",))
+    n_data = math.prod(mesh.shape[a] for a in batch_axes)
 
     def g_apply(params_g, z, labels):
         if conditional:
@@ -72,16 +83,16 @@ def build_tp_train_step(cfg: Config, mesh) -> Callable:
                if cfg.train.remat_discriminator else d_apply_raw)
 
     def finalize_grads(tree):
-        # vma transpose has already psum'd over ('data','tp'): over tp the
-        # sum is the assembled full gradient; over data divide for the mean
-        n = lax.axis_size("data")
-        return jax.tree.map(lambda g: g / n, tree)
+        # vma transpose has already psum'd over (batch axes, 'tp'): over tp
+        # the sum is the assembled full gradient; over the batch axes
+        # ('data', plus 'dcn' multi-host) divide for the replica mean
+        return jax.tree.map(lambda g: g / n_data, tree)
 
     def body(state: TrainState, raw, labels):
         base = jax.random.wrap_key_data(state.base_key)
         (step_key,) = split_for_step(base, state.step, "step")
         # decorrelate data replicas; tp shards MUST share keys
-        step_key = jax.random.fold_in(step_key, lax.axis_index("data"))
+        step_key = jax.random.fold_in(step_key, lax.axis_index(batch_axes))
 
         def d_micro(carry, view):
             params_d, opt_d_state = carry
@@ -150,7 +161,7 @@ def build_tp_train_step(cfg: Config, mesh) -> Callable:
 
         metrics = {k: v[-1] for k, v in d_metrics.items()}
         metrics["g_loss"] = g_loss
-        metrics = jax.lax.pmean(jax.lax.pmean(metrics, "data"), "tp")
+        metrics = jax.lax.pmean(jax.lax.pmean(metrics, batch_axes), "tp")
         new_state = state.replace(step=state.step + 1, params_g=params_g,
                                   params_d=params_d, opt_g=opt_g_state,
                                   opt_d=opt_d_state)
@@ -160,7 +171,8 @@ def build_tp_train_step(cfg: Config, mesh) -> Callable:
         specs = jax.tree.map(lambda _: P(), state)
         fn = jax.shard_map(
             body, mesh=mesh,
-            in_specs=(specs, P(None, "data", None), P(None, "data")),
+            in_specs=(specs, P(None, batch_axes, None),
+                      P(None, batch_axes)),
             out_specs=(specs, P()),
             check_vma=True)
         return jax.jit(fn, donate_argnums=(0,))

@@ -1,0 +1,146 @@
+"""Batched on-TPU verification session (.claude/skills/verify drive flows).
+
+One sequential TPU-claiming process (single-chip lease — never run two):
+  1. ingest/data flow: synthetic corpus -> batcher -> jit ingest on TPU ->
+     mu-law expand -> wav round-trip
+  2. CLI train, 5 steps of tiny_sc09 on the real chip
+  3. CLI sample twice, byte-identical wavs
+  4. bench.py flagship line (the driver's headline path)
+  5. sampler batch-size A/B for the audio-sec/sec metric (num=64/128/256)
+
+Usage:  PYTHONPATH="/root/repo:$PYTHONPATH" python scripts/verify_session.py
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402
+
+WORK = Path("/tmp/vrun_r3c")
+
+
+def banner(s):
+    print(f"\n===== {s} =====", flush=True)
+
+
+def flow_ingest():
+    banner("flow 1: ingest/data")
+    import numpy as np
+    from scipy.io import wavfile
+
+    from audiogan_tpu.config import get_preset
+    from audiogan_tpu.data.corpus import Corpus, HostBatcher, build_corpus
+    from audiogan_tpu.data.synthetic import make_synthetic_sc09
+    from audiogan_tpu.data.wavio import write_wav
+    from audiogan_tpu.ops.ingest import ingest_batch
+    from audiogan_tpu.ops.mulaw import mu_law_expand
+
+    cfg = get_preset("tiny_sc09")
+    wavs, packed = WORK / "wavs", WORK / "packed"
+    if not (packed / "meta.json").exists():
+        make_synthetic_sc09(wavs, n_per_class=2, num_classes=10,
+                            rate=16000, clip_len=16000, seed=0)
+        build_corpus(wavs, packed, store_len=cfg.data.store_len,
+                     source_rate=16000)
+    corpus = Corpus(packed)
+    batcher = HostBatcher(corpus, 4, 1, seed=0)
+    clips, labels = batcher.get(0)
+    key = jax.random.key(0)
+    x = jax.jit(lambda r, k: ingest_batch(r, cfg.data, k))(clips[0], key)
+    y = mu_law_expand(x, cfg.data.mu)
+    y = np.asarray(y)
+    assert np.isfinite(y).all() and y.shape == (4, cfg.data.clip_len)
+    out = WORK / "ingest_check.wav"
+    write_wav(out, 16000, y[0])
+    rate, back = wavfile.read(out)
+    assert rate == 16000 and back.shape[0] == cfg.data.clip_len
+    print("ingest flow OK; device:", x.device, flush=True)
+
+
+def flow_train():
+    banner("flow 2: CLI train tiny_sc09 x5 on TPU")
+    from audiogan_tpu.cli import main
+    rc = main(["train", "--preset", "tiny_sc09", "--data_dir", "",
+               "--total_steps", "5", "--workdir", str(WORK / "run")])
+    assert rc == 0
+    assert any((WORK / "run" / "ckpt").iterdir())
+    print("train flow OK", flush=True)
+
+
+def flow_sample():
+    banner("flow 3: CLI sample determinism")
+    from audiogan_tpu.cli import main
+    for d in ("s1", "s2"):
+        rc = main(["sample", "--workdir", str(WORK / "run"), "--num", "4",
+                   "--seed", "0", "--out_dir", str(WORK / d)])
+        assert rc == 0
+    w1 = sorted((WORK / "s1").glob("*.wav"))
+    w2 = sorted((WORK / "s2").glob("*.wav"))
+    assert w1 and len(w1) == len(w2)
+    for a, b in zip(w1, w2):
+        assert a.read_bytes() == b.read_bytes(), (a, b)
+    print("sample determinism OK", flush=True)
+
+
+def _load_bench():
+    # `import bench` resolves to the bench/ PACKAGE (proxy modules); the
+    # headline harness is the root-level bench.py file
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_headline", "/root/repo/bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def flow_bench():
+    banner("flow 5: bench.py flagship line")
+    bench = _load_bench()
+    line = bench.bench_one("wgan_gp_b64", "bfloat16", None, 8,
+                           bench.load_proxy("torch-cpu-eager"))
+    print(json.dumps(line), flush=True)
+    assert line["value"] > 1.0, line
+
+
+def sampler_batch_ab():
+    banner("sampler batch-size A/B (audio-sec/sec)")
+    bench = _load_bench()
+    from audiogan_tpu.cli import apply_overrides
+    from audiogan_tpu.config import get_preset
+    cfg = apply_overrides(get_preset("wgan_gp_b64"),
+                          ["train.dtype=bfloat16"])
+    sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [64, 128, 256]
+    res = {n: [] for n in sizes}
+    dead = set()
+    for rnd in range(3):
+        for n in res:
+            if n in dead:
+                continue
+            try:
+                res[n].append(
+                    round(bench.bench_sample(cfg, n_iters=6, num=n), 1))
+            except Exception as e:  # e.g. HBM OOM at huge batches
+                res[n].append(f"ERR {type(e).__name__}")
+                dead.add(n)
+    print(json.dumps({"sampler_audio_sec_per_sec":
+                      {str(k): v for k, v in res.items()}}), flush=True)
+
+
+FLOWS = {"ingest": flow_ingest, "train": flow_train, "sample": flow_sample,
+         "bench": flow_bench, "sampler_ab": sampler_batch_ab}
+
+if __name__ == "__main__":
+    t0 = time.time()
+    WORK.mkdir(parents=True, exist_ok=True)
+    print("backend:", jax.default_backend(), jax.devices(), flush=True)
+    from audiogan_tpu.utils.xla_cache import enable_compilation_cache
+    enable_compilation_cache()
+    # non-flow args (e.g. sampler_ab batch sizes) pass through to the flow
+    picked = [a for a in sys.argv[1:] if a in FLOWS] or list(FLOWS)
+    for name in picked:
+        FLOWS[name]()
+    banner(f"FLOWS {picked} PASS in {time.time() - t0:.0f}s")

@@ -1,11 +1,15 @@
-"""Worker for the 2-process jax.distributed CPU test (SURVEY §2.4 DCN tier).
+"""Worker for the 2-process jax.distributed CPU tests (SURVEY §2.4 DCN tier).
 
 Launched by tests/parallel/test_multihost.py as:
-    python multihost_worker.py <process_id> <num_processes> <port>
-Each process gets 4 virtual CPU devices; the pair forms the
-('dcn','data','cp') = (2,4,1) hybrid mesh and runs 2 real train steps on the
-same code path train/loop.py uses (make_train_mesh + put_global_batch),
-printing the metrics as one JSON line.
+    python multihost_worker.py <process_id> <num_processes> <port> [mode]
+Each process gets 4 virtual CPU devices. mode selects the step family the
+pair exercises over the hybrid mesh (make_train_mesh + put_global_batch,
+the exact code path train/loop.py uses), printing metrics as one JSON line:
+
+    plain  ('dcn','data','cp') = (2,4,1), auto-SPMD step (train/step.py)
+    cp     ('dcn','data','cp') = (2,2,2), shard_map cp step (train/cp_step.py)
+    tp     ('dcn','data','cp','tp') = (2,2,1,2), shard_map tp step
+           (train/tp_step.py)
 """
 
 import json
@@ -15,6 +19,7 @@ import sys
 
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    mode = sys.argv[4] if len(sys.argv) > 4 else "plain"
 
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
@@ -33,8 +38,6 @@ def main():
 
     import dataclasses
 
-    import numpy as np
-
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
     from helpers_train import raw_batch, tiny_config
 
@@ -46,20 +49,33 @@ def main():
     from audiogan_tpu.train.state import create_train_state
     from audiogan_tpu.train.step import build_train_step
 
+    # per-process mesh cfg; global DP = nproc * dp
+    mesh_cfg = {"plain": MeshCfg(dp=4, cp=1),
+                "cp": MeshCfg(dp=2, cp=2),
+                "tp": MeshCfg(dp=2, tp=2)}[mode]
     cfg = tiny_config()
     cfg = dataclasses.replace(
         cfg,
-        mesh=MeshCfg(dp=4, cp=1),              # per-process dp
+        mesh=mesh_cfg,
         train=dataclasses.replace(cfg.train, batch_size=16),
     )
 
     mesh = make_train_mesh(cfg)
-    assert mesh.axis_names == ("dcn", "data", "cp"), mesh
+    want_axes = (("dcn", "data", "cp", "tp") if mode == "tp"
+                 else ("dcn", "data", "cp"))
+    assert mesh.axis_names == want_axes, mesh
     assert mesh.shape["dcn"] == nproc
 
     state = create_train_state(cfg)
     state = jax.device_put(state, state_shardings(mesh, state))
-    step = jax.jit(build_train_step(cfg), donate_argnums=(0,))
+    if mode == "cp":
+        from audiogan_tpu.train.cp_step import build_cp_train_step
+        step = build_cp_train_step(cfg, mesh)(state)
+    elif mode == "tp":
+        from audiogan_tpu.train.tp_step import build_tp_train_step
+        step = build_tp_train_step(cfg, mesh)(state)
+    else:
+        step = jax.jit(build_train_step(cfg), donate_argnums=(0,))
     b_shard, l_shard = batch_sharding(mesh), label_sharding(mesh)
 
     hist = []

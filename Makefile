@@ -1,7 +1,7 @@
 # Convenience targets. See .claude/skills/verify/SKILL.md for env gotchas.
 
 .PHONY: test test-all native bench bench-pallas tpu-kernels tpu-fidelity \
-        proxy clean
+        tpu-session tpu-compare verify proxy clean
 
 test:            ## CPU suite minus @slow (164 tests, 3m29s warm, 2026-08-17)
 	PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q -m "not slow"
@@ -23,6 +23,9 @@ tpu-kernels:     ## compiled Pallas kernel validation on the real TPU
 
 tpu-session:     ## every on-HW check in ONE chip claim (see skills/verify)
 	python scripts/tpu_session.py
+
+verify:          ## skills/verify drive flows, batched in ONE chip claim
+	python scripts/verify_session.py
 
 tpu-compare:     ## throttle-fair interleaved xla/pallas/mixed step compare
 	python bench.py --compare

@@ -78,12 +78,25 @@ def bench_train(cfg, n_warmup=2, n_steps=10):
     return n_steps / dt
 
 
-def bench_sample(cfg, n_warmup=2, n_iters=10, num=64):
+def default_sample_num(cfg) -> int:
+    """Generation batch for the audio-sec/sec metric: throughput scales
+    with batch until HBM, not MXU, is the limit — measured flagship
+    audio-sec/sec on the v5e chip (scripts/verify_session.py sampler_ab,
+    2026-08-17): num=64 7-11k, 256 23k, 512 36k, 1024 44.6k, 2048 51k,
+    4096 55.5k (stable ±0.2%). Default to ~67M samples in flight (= 4096
+    one-second 16 kHz clips; 380 four-second 44.1 kHz music clips), the
+    largest tier whose activations fit every preset's HBM."""
+    return max(64, (4096 * 16384) // cfg.data.clip_len)
+
+
+def bench_sample(cfg, n_warmup=2, n_iters=10, num=None):
     import jax
 
     from audiogan_tpu.train.sample import build_sample_fn
     from audiogan_tpu.train.state import create_train_state
 
+    if num is None:
+        num = default_sample_num(cfg)
     state = create_train_state(cfg)
     fn = build_sample_fn(cfg)
     key = jax.random.key(0)
@@ -135,6 +148,7 @@ def bench_one(preset: str, dtype: str, kernels: str | None, steps: int,
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / proxy, 2),
         "audio_sec_per_sec": round(audio_sec_per_sec, 2),
+        "sample_batch": default_sample_num(cfg),
         "preset": cfg.name,
         "batch": cfg.train.batch_size,
         "n_critic": cfg.loss.n_critic,

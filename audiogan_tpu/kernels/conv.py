@@ -714,6 +714,15 @@ def _auto_backend_ok() -> bool:
     return _INTERPRET or jax.default_backend() == "tpu"
 
 
+# Generation-regime batches: the Pallas row tiling was tuned for the
+# train regime (b=64); at large batches XLA's conv lowering saturates the
+# MXU and wins every flagship layer — sampler A/Bs (2026-08-17, 3-4
+# interleaved rounds each, audio-sec/sec): b=512 auto 0.80-0.91x xla,
+# b=1024 0.81-0.88x, b=2048 0.77-0.78x, b=4096 0.78x (uniform pallas
+# 0.61-0.66x). auto therefore routes b >= this to xla.
+_AUTO_XLA_BATCH = 512
+
+
 def _auto_conv1d_impl(b: int, t_out: int, cin: int, cout: int,
                       stride: int = 4) -> str:
     """Per-geometry tier choice for impl="auto". Resolved at trace time
@@ -725,7 +734,7 @@ def _auto_conv1d_impl(b: int, t_out: int, cin: int, cout: int,
     directions. Bands are measured at stride 4; the music strides
     (7/7/5/5/3, --sets music same script) measured 0.95-1.43 fwd /
     1.00-1.72 dx with no reliable win, so auto keeps XLA off-stride-4."""
-    if not _auto_backend_ok() or stride != 4:
+    if not _auto_backend_ok() or stride != 4 or b >= _AUTO_XLA_BATCH:
         return "xla"
     return "pallas" if (b > 1 and 128 <= t_out <= 512) else "xla"
 
@@ -737,7 +746,7 @@ def _auto_convt1d_impl(b: int, m_out: int, cin: int, cout: int,
     win; m_out=16 0.95/1.06 is a wash-to-loss (per-call overhead on a
     16-row grid). Stride-4 bands; music strides measured 0.95-1.30 fwd
     with dx/dw up to 1.99 (m_out=11760) — XLA off-stride-4."""
-    if not _auto_backend_ok() or stride != 4:
+    if not _auto_backend_ok() or stride != 4 or b >= _AUTO_XLA_BATCH:
         return "xla"
     return "pallas" if m_out >= 64 else "xla"
 

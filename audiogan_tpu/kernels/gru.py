@@ -26,6 +26,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = False
 _MAX_VMEM_WEIGHTS = 12 * 1024 * 1024  # bytes of W_i + W_h we allow in VMEM
+# whole-kernel VMEM frame budget (weights + batch-scaled carries/blocks);
+# the scoped-vmem hard limit is 16 MB — leave headroom like conv.py's
+# tile fitter. Generation-regime batches (b >= ~2k at cond_gru geometry)
+# overflow this and fall back to the XLA scan, which is also the
+# measured-faster tier at such batches (BASELINE.md sampler A/Bs).
+_VMEM_BUDGET = 13 * 1024 * 1024
 
 
 def _cdiv(a, b):
@@ -207,7 +213,17 @@ def _gru_scan_impl(h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out, b_out,
     # the footprint; the kernels cast up to f32 per-use in registers)
     weight_bytes = jnp.dtype(w_i.dtype).itemsize * (
         w_i.size + w_h.size + w_ar.size + w_out.size)
-    if weight_bytes > _MAX_VMEM_WEIGHTS:
+    # batch-scaled VMEM: h0/cond inputs, double-buffered out block(s),
+    # f32 carry scratch — at generation batches these dwarf the weights
+    # (measured: b=4096 wants a 45.8 MB frame vs the 16 MB scoped limit)
+    itemsize = jnp.dtype(h0.dtype).itemsize
+    act_bytes = (b * hid + b * feat) * itemsize
+    act_bytes += 2 * b * feat * itemsize
+    if with_h:
+        act_bytes += 2 * b * hid * itemsize
+    act_bytes += 4 * b * (hid + feat)
+    if weight_bytes > _MAX_VMEM_WEIGHTS or \
+            weight_bytes + act_bytes > _VMEM_BUDGET:
         out = _gru_scan_xla(h0, cond_proj, w_i, w_h, b_i, b_h, w_ar,
                             w_out, b_out, n_frames)
         return (out, None, None) if with_h else out
@@ -379,7 +395,16 @@ def _gru_scan_bwd(n_frames, res, g):
     n_w = w_i.size + w_h.size + w_ar.size + w_out.size
     # resident set = stored-dtype weights + f32 grad accumulators
     weight_bytes = (jnp.dtype(w_i.dtype).itemsize + 4) * n_w
-    if feats_nbf is None or weight_bytes > _MAX_VMEM_WEIGHTS:
+    bsz, hid_ = h0.shape
+    feat_ = w_ar.shape[0]
+    itemsize = jnp.dtype(h0.dtype).itemsize
+    # batch-scaled VMEM: double-buffered reverse blocks (g, prev_f,
+    # prev_h), dh0/dcond outputs, f32 carry + dcond scratch
+    act_bytes = 2 * bsz * (2 * feat_ + hid_) * itemsize
+    act_bytes += bsz * (hid_ + feat_) * itemsize
+    act_bytes += 4 * bsz * (hid_ + 2 * feat_)
+    if feats_nbf is None or weight_bytes > _MAX_VMEM_WEIGHTS or \
+            weight_bytes + act_bytes > _VMEM_BUDGET:
         # forward fell back to XLA (or grads + weights overflow VMEM):
         # backward = vjp through the numerically-identical XLA scan
         _, vjp = jax.vjp(

@@ -109,3 +109,24 @@ def test_gru_scan_grads_vmem_fallback(rng, monkeypatch):
     for i, (a, b_) in enumerate(zip(gp, gx)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-4, rtol=1e-4, err_msg=str(i))
+
+
+def test_gru_scan_batch_vmem_gate(rng, monkeypatch):
+    """Generation-regime batches overflow the kernel's VMEM frame (the
+    h0/cond/out/scratch buffers scale with b — measured 45.8 MB at
+    b=4096 on HW) and must fall back to the XLA scan instead of failing
+    Mosaic compilation."""
+    import audiogan_tpu.kernels.gru as kgru
+    # shrink the budget so a CPU-sized batch trips the *act-bytes* term
+    monkeypatch.setattr(kgru, "_VMEM_BUDGET", 64 * 1024)
+    b, hid, feat, n_frames = 64, 32, 16, 3
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    args = (r(b, hid), r(b, feat), r(2 * feat, 3 * hid) * 0.2,
+            r(hid, 3 * hid) * 0.2, r(3 * hid) * 0.1, r(3 * hid) * 0.1,
+            r(feat, feat) * 0.2, r(hid, feat) * 0.2, r(feat) * 0.1)
+    out, feats_nbf, h_seq = kgru._gru_scan_impl(*args, n_frames,
+                                                with_h=True)
+    assert feats_nbf is None and h_seq is None      # fell back
+    want = kgru._gru_scan_xla(*args, n_frames=n_frames)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

@@ -399,8 +399,10 @@ def _gru_scan_bwd(n_frames, res, g):
     feat_ = w_ar.shape[0]
     itemsize = jnp.dtype(h0.dtype).itemsize
     # batch-scaled VMEM: double-buffered reverse blocks (g, prev_f,
-    # prev_h), dh0/dcond outputs, f32 carry + dcond scratch
+    # prev_h), the resident cond_proj input, dh0/dcond outputs, and the
+    # f32 carry + dcond scratch
     act_bytes = 2 * bsz * (2 * feat_ + hid_) * itemsize
+    act_bytes += bsz * feat_ * itemsize
     act_bytes += bsz * (hid_ + feat_) * itemsize
     act_bytes += 4 * bsz * (hid_ + 2 * feat_)
     if feats_nbf is None or weight_bytes > _MAX_VMEM_WEIGHTS or \

@@ -36,20 +36,22 @@ def make_mesh(cfg: Config, devices: list | None = None) -> Mesh:
     return Mesh(dev, ("data", "cp"))
 
 
-def _data_axes(mesh: Mesh):
-    """The batch axis is sharded over 'data', plus the outer 'dcn' axis on
-    a multi-host hybrid mesh (parallel.multihost) — DP is the only strategy
-    that rides DCN (SURVEY §2.4)."""
-    return ("dcn", "data") if "dcn" in mesh.axis_names else "data"
+def data_axes(mesh: Mesh) -> tuple[str, ...]:
+    """Mesh axes the batch dimension is sharded over: ('data',), plus the
+    outer 'dcn' axis on a multi-host hybrid mesh (parallel.multihost) —
+    DP is the only strategy that rides DCN (SURVEY §2.4). The single
+    source of truth for the shard_map step builders (cp_step/tp_step),
+    whose replica folding/averaging must match these axes."""
+    return ("dcn", "data") if "dcn" in mesh.axis_names else ("data",)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for raw batches [n_views, B, T]: shard B over 'data'."""
-    return NamedSharding(mesh, P(None, _data_axes(mesh), None))
+    return NamedSharding(mesh, P(None, data_axes(mesh), None))
 
 
 def label_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(None, _data_axes(mesh)))
+    return NamedSharding(mesh, P(None, data_axes(mesh)))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -43,6 +43,7 @@ from audiogan_tpu.losses import wgan_d_loss, wgan_g_loss
 from audiogan_tpu.ops.ingest import ingest_batch
 from audiogan_tpu.parallel.cp_models import (cp_discriminator_forward,
                                              cp_generator_forward)
+from audiogan_tpu.parallel.mesh import data_axes
 from audiogan_tpu.train.state import TrainState, make_optimizers
 from audiogan_tpu.utils.prng import split_for_step
 
@@ -78,8 +79,7 @@ def build_cp_train_step(cfg: Config, mesh) -> Callable:
     # on the multi-host hybrid mesh the batch axis spans ('dcn','data') —
     # dcn is outermost, so the linearized replica index matches a
     # single-process run at dp = dcn*data (parallel.multihost)
-    batch_axes = (("dcn", "data") if "dcn" in mesh.axis_names
-                  else ("data",))
+    batch_axes = data_axes(mesh)
     n_data = math.prod(mesh.shape[a] for a in batch_axes)
 
     if cfg.model.generator == "gru":

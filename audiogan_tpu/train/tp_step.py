@@ -48,6 +48,7 @@ from audiogan_tpu.losses import (gradient_penalty, wgan_d_loss,
                                  wgan_g_loss)
 from audiogan_tpu.models import build_generator
 from audiogan_tpu.ops.ingest import ingest_batch
+from audiogan_tpu.parallel.mesh import data_axes
 from audiogan_tpu.parallel.tp_models import tp_discriminator_forward
 from audiogan_tpu.train.state import TrainState, make_optimizers
 from audiogan_tpu.utils.prng import split_for_step
@@ -65,8 +66,7 @@ def build_tp_train_step(cfg: Config, mesh) -> Callable:
     g_mod = build_generator(cfg)
     # multi-host hybrid mesh: batch spans ('dcn','data'), dcn outermost,
     # so the linearized replica index matches single-process dp = dcn*data
-    batch_axes = (("dcn", "data") if "dcn" in mesh.axis_names
-                  else ("data",))
+    batch_axes = data_axes(mesh)
     n_data = math.prod(mesh.shape[a] for a in batch_axes)
 
     def g_apply(params_g, z, labels):

@@ -98,7 +98,7 @@ def _load_bench():
 
 
 def flow_bench():
-    banner("flow 5: bench.py flagship line")
+    banner("flow 4: bench.py flagship line")
     bench = _load_bench()
     line = bench.bench_one("wgan_gp_b64", "bfloat16", None, 8,
                            bench.load_proxy("torch-cpu-eager"))
@@ -139,7 +139,12 @@ if __name__ == "__main__":
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
     from audiogan_tpu.utils.xla_cache import enable_compilation_cache
     enable_compilation_cache()
-    # non-flow args (e.g. sampler_ab batch sizes) pass through to the flow
+    # numeric args (sampler_ab batch sizes) pass through to the flow;
+    # anything else must name a flow — a typo must NOT run everything
+    unknown = [a for a in sys.argv[1:]
+               if a not in FLOWS and not a.isdigit()]
+    if unknown:
+        sys.exit(f"unknown flow(s) {unknown}; have {sorted(FLOWS)}")
     picked = [a for a in sys.argv[1:] if a in FLOWS] or list(FLOWS)
     for name in picked:
         FLOWS[name]()

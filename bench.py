@@ -122,7 +122,7 @@ PRESETS = ["tiny_sc09", "wgan_gp_b64", "cond_gru_sc09", "dual_stft",
 
 
 def bench_one(preset: str, dtype: str, kernels: str | None, steps: int,
-              proxy: float) -> dict:
+              proxy: float, sample_batch: int | None = None) -> dict:
     import dataclasses
 
     from audiogan_tpu.cli import apply_overrides
@@ -140,15 +140,16 @@ def bench_one(preset: str, dtype: str, kernels: str | None, steps: int,
         import audiogan_tpu.config as _c
         cfg = dataclasses.replace(cfg, mesh=_c.MeshCfg(dp=1, cp=1))
 
+    num = sample_batch or default_sample_num(cfg)
     steps_per_sec = bench_train(cfg, n_steps=steps)
-    audio_sec_per_sec = bench_sample(cfg)
+    audio_sec_per_sec = bench_sample(cfg, num=num)
     return {
         "metric": "train_steps_per_sec",
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / proxy, 2),
         "audio_sec_per_sec": round(audio_sec_per_sec, 2),
-        "sample_batch": default_sample_num(cfg),
+        "sample_batch": num,
         "preset": cfg.name,
         "batch": cfg.train.batch_size,
         "n_critic": cfg.loss.n_critic,
@@ -262,6 +263,10 @@ def main():
                     help="compute dtype (params stay f32); bf16 is the "
                          "production TPU path — GP norms track f32 to 1e-3 "
                          "(BASELINE.md)")
+    ap.add_argument("--sample_batch", type=int, default=None,
+                    help="generation batch for the audio-sec/sec metric "
+                         "(default: HBM-limited optimum, ~67M samples in "
+                         "flight — see default_sample_num)")
     ap.add_argument("--proxy", default="torch-cpu-eager",
                     choices=["torch-cpu-eager", "jax-cpu-eager"],
                     help="which measured proxy denominator to report "
@@ -300,7 +305,9 @@ def main():
     presets = PRESETS if args.preset == "all" else [args.preset]
     for preset in presets:
         print(json.dumps(bench_one(preset, args.dtype, args.kernels,
-                                   args.steps, proxy)), flush=True)
+                                   args.steps, proxy,
+                                   sample_batch=args.sample_batch)),
+              flush=True)
 
 
 if __name__ == "__main__":

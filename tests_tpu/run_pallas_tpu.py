@@ -23,8 +23,11 @@ from audiogan_tpu.ops.gru import gru_cell as xgru
 
 
 def check(name, got, want, atol=2e-3, rtol=2e-3):
-    got, want = np.asarray(got), np.asarray(want)
-    err = np.max(np.abs(got - want)) if got.size else 0.0
+    # cast up front: ml_dtypes scalars (bf16 outputs) have no __format__,
+    # and np.allclose on them upcasts anyway
+    got = np.asarray(got).astype(np.float64)
+    want = np.asarray(want).astype(np.float64)
+    err = float(np.max(np.abs(got - want))) if got.size else 0.0
     ok = np.allclose(got, want, atol=atol, rtol=rtol)
     print(f"{'OK ' if ok else 'FAIL'} {name}: max|diff|={err:.2e}")
     return ok
@@ -160,6 +163,29 @@ def main():
              r(hid_, 3 * hid_) * 0.05, r(3 * hid_) * 0.1,
              r(3 * hid_) * 0.1, r(feat_, feat_) * 0.05,
              r(hid_, feat_) * 0.05, r(feat_) * 0.1)
+    def accuracy_check(name, pallas_out, xla_out, ref_out, slack=2.0):
+        """bf16 carries diverge between impls BY DESIGN: the fused kernel
+        keeps h/accumulators in f32 VMEM scratch across all 256 frames
+        while the XLA scan truncates its carry to bf16 every step — so
+        pallas-vs-xla equality is the wrong question at bf16. The right
+        invariant: the kernel must be AT LEAST as close to the f32
+        reference as the XLA bf16 scan is (x slack for noise)."""
+        okk = True
+        for pa, xa, rf in zip(jax.tree.leaves(pallas_out),
+                              jax.tree.leaves(xla_out),
+                              jax.tree.leaves(ref_out)):
+            pa, xa, rf = (np.asarray(t).astype(np.float64)
+                          for t in (pa, xa, rf))
+            scale = max(float(np.max(np.abs(rf))), 1e-6)
+            ep = float(np.max(np.abs(pa - rf))) / scale
+            ex = float(np.max(np.abs(xa - rf))) / scale
+            good = ep <= max(ex * slack, 1e-3)
+            print(f"{'OK ' if good else 'FAIL'} {name}: rel-err pallas "
+                  f"{ep:.2e} vs xla {ex:.2e} (vs f32 ref)")
+            okk &= good
+        return okk
+
+    a32 = tuple(a.astype(jnp.float32) for a in sargs)
     for dt_ in (jnp.float32, jnp.bfloat16):
         a_dt = tuple(a.astype(dt_) for a in sargs)
         ct = r(b_, nf, feat_).astype(dt_)
@@ -172,9 +198,14 @@ def main():
         # measured max|diff| 5.9e-3 on HW 2026-08-17 while CPU interpret
         # mode (tests/pallas/test_gru_kernel.py) is exact at 1e-5 and every
         # grad matches. Not a kernel bug; the drift is the platform's.
-        tol = dict(atol=2e-2, rtol=2e-2) if dt_ == jnp.float32 \
-            else dict(atol=5e-2, rtol=5e-2)
-        ok &= check(f"gru_scan fwd {name}", f_p(*a_dt), f_x(*a_dt), **tol)
+        tol = dict(atol=2e-2, rtol=2e-2)
+        if dt_ == jnp.bfloat16:
+            ref = f_x(*a32)
+            ok &= accuracy_check(f"gru_scan fwd {name}", f_p(*a_dt),
+                                 f_x(*a_dt), ref)
+        else:
+            ok &= check(f"gru_scan fwd {name}", f_p(*a_dt), f_x(*a_dt),
+                        **tol)
         g_p = jax.jit(jax.grad(lambda *a: jnp.sum(
             gru_scan(*a, nf).astype(jnp.float32)
             * ct.astype(jnp.float32)), argnums=tuple(range(9))))
@@ -182,10 +213,16 @@ def main():
             _gru_scan_xla(*a, n_frames=nf).astype(jnp.float32)
             * ct.astype(jnp.float32)), argnums=tuple(range(9))))
         gp_, gx_ = g_p(*a_dt), g_x(*a_dt)
-        for i_, (ga, gb) in enumerate(zip(gp_, gx_)):
-            ok &= check(f"gru_scan grad[{i_}] {name}",
-                        ga.astype(jnp.float32), gb.astype(jnp.float32),
-                        **tol)
+        if dt_ == jnp.bfloat16:
+            gref = g_x(*a32)
+            for i_, (ga, gb, gr) in enumerate(zip(gp_, gx_, gref)):
+                ok &= accuracy_check(f"gru_scan grad[{i_}] {name}",
+                                     ga, gb, gr)
+        else:
+            for i_, (ga, gb) in enumerate(zip(gp_, gx_)):
+                ok &= check(f"gru_scan grad[{i_}] {name}",
+                            ga.astype(jnp.float32), gb.astype(jnp.float32),
+                            **tol)
         tpf = timeit("pallas fwd ", f_p, *a_dt)
         txf = timeit("xla    fwd ", f_x, *a_dt)
         tpg = timeit("pallas grad", g_p, *a_dt)

@@ -184,6 +184,15 @@ class Config:
                         f"cp dual-STFT needs hop-aligned shards and a frame "
                         f"axis divisible by cp*16: clip_len={d.clip_len}, "
                         f"hop={hop}, cp={self.mesh.cp}")
+            if self.loss.stft_loss_weight > 0:
+                t_loc = d.clip_len // self.mesh.cp
+                for n_fft, hop, win in m.stft_resolutions:
+                    if t_loc % hop or (win - hop) > t_loc:
+                        raise ValueError(
+                            "cp spectral-matching loss needs hop-aligned "
+                            "shards and a (win-hop) halo within one shard: "
+                            f"shard len {t_loc}, resolution "
+                            f"({n_fft},{hop},{win})")
             if self.mesh.fsdp:
                 raise ValueError("cp>1 with fsdp is not supported yet")
             if m.generator == "wavegan":

@@ -30,6 +30,7 @@ def read_wav(path: str | Path, mono: bool = True) -> tuple[int, np.ndarray]:
         raise ValueError(f"{path}: not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = b""
     raw = None
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
@@ -37,6 +38,7 @@ def read_wav(path: str | Path, mono: bool = True) -> tuple[int, np.ndarray]:
         body = data[pos + 8: pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -44,7 +46,14 @@ def read_wav(path: str | Path, mono: bool = True) -> tuple[int, np.ndarray]:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_fmt, n_ch, rate, _, _, bits = fmt
     if audio_fmt == _EXTENSIBLE:
-        audio_fmt = _PCM if bits in (8, 16, 24, 32) else _IEEE_FLOAT
+        # the real format code is the first 2 bytes of the SubFormat GUID
+        # (fmt body: 16 base + cbSize 2 + validBits 2 + channelMask 4 +
+        # GUID 16) — classifying by bit depth misreads extensible float32
+        # as int32 PCM (ffmpeg/Audacity emit EXTENSIBLE for both)
+        if len(fmt_body) >= 26:
+            audio_fmt = struct.unpack_from("<H", fmt_body, 24)[0]
+        else:
+            raise ValueError(f"{path}: EXTENSIBLE wav without SubFormat")
     if audio_fmt == _IEEE_FLOAT and bits == 32:
         x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
     elif audio_fmt == _PCM and bits == 16:

@@ -66,6 +66,22 @@ _COLLAPSE_MAX_CONV = int(_os.environ.get("AUDIOGAN_COLLAPSE_CONV", "256"))
 _COLLAPSE_MAX_CONVT = int(_os.environ.get("AUDIOGAN_COLLAPSE_CONVT", "0"))
 
 
+def _vma_sds(shape, dtype, *operands):
+    """ShapeDtypeStruct whose vma is the union of the operands' varying
+    mesh axes — required to trace pallas_call inside a vma-checked
+    shard_map (the cp/tp/multihost step bodies): pallas outputs of
+    shard-varying compute are shard-varying. Outside shard_map every
+    operand's vma is empty and this is a plain ShapeDtypeStruct."""
+    vma = frozenset()
+    for o in operands:
+        if o is None:
+            continue
+        v = getattr(getattr(o, "aval", None), "vma", None)
+        if v:
+            vma |= frozenset(v)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -225,8 +241,8 @@ def _rowconv_call(x_rows, w_taps, *, b, n_t, t_tile, q_taps, n_ci, n_co,
         out_specs=pl.BlockSpec((1, 1, t_tile, lanes_out),
                                lambda b_, t_, co_, ci_: (b_, co_, t_, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_co, n_t * t_tile, lanes_out),
-                                       out_dtype),
+        out_shape=_vma_sds((b, n_co, n_t * t_tile, lanes_out),
+                           out_dtype, x_rows, w_taps, bias),
         scratch_shapes=[
             pltpu.VMEM((2, rows_tile, lanes_in), x_rows.dtype),  # dbl buffer
             pltpu.VMEM((t_tile, lanes_out), jnp.float32),        # accumulator
@@ -544,8 +560,9 @@ def _wgrad_call(x_stack, ct_stack, *, n_t, t_tile, q_taps, n_ci, n_co,
         out_specs=pl.BlockSpec((1, 1, q_taps, lanes_in, lanes_out),
                                lambda ci_, co_, r_: (ci_, co_, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (n_ci, n_co, q_taps, lanes_in, lanes_out), jnp.float32),
+        out_shape=_vma_sds(
+            (n_ci, n_co, q_taps, lanes_in, lanes_out), jnp.float32,
+            x_stack, ct_stack),
         scratch_shapes=[
             pltpu.VMEM((2, rows_tile, lanes_in), x_stack.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -630,9 +647,7 @@ def _convt1d_wgrad_pallas(x, ct, s, pad_lo, out_len, k):
     n_ci, n_co = cin_p // cin_blk, cout_p // cout_blk
     lanes_in, lanes_out = cin_blk, s * cout_blk
 
-    q_min = -(pad_lo // s)
-    q_max = (k + s - 2 - pad_lo) // s
-    q_taps = q_max - q_min + 1
+    q_min, q_taps = _convt_phase_range(k, s, pad_lo)
     rows_b = m_out + q_taps - 1
     r_rows = b * rows_b
     t_tile = min(_round_up(r_rows, 16), 512)
@@ -862,9 +877,7 @@ def _convt1d_wgrad_xla(x, ct, s, pad_lo, out_len, k):
     cout = ct.shape[-1]
     if out_len % s == 0:
         m_out = out_len // s
-        q_min = -(pad_lo // s)
-        q_max = (k + s - 2 - pad_lo) // s
-        q_taps = q_max - q_min + 1
+        q_min, q_taps = _convt_phase_range(k, s, pad_lo)
         rows = m_out + q_taps - 1
         pad_back = rows + q_min - t_in
         if pad_back < 0:

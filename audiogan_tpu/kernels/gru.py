@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from audiogan_tpu.kernels.conv import _vma_sds
+
 _INTERPRET = False
 _MAX_VMEM_WEIGHTS = 12 * 1024 * 1024  # bytes of W_i + W_h we allow in VMEM
 # whole-kernel VMEM frame budget (weights + batch-scaled carries/blocks);
@@ -78,7 +80,7 @@ def _gru_fwd_impl(x, h, w_i, w_h, b_i, b_h):
         ],
         out_specs=pl.BlockSpec((b_blk, hid), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hid), x.dtype),
+        out_shape=_vma_sds((b, hid), x.dtype, x, h),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * 3 * hid * (in_dim + hid),
             bytes_accessed=4 * (x.size + h.size + w_i.size + w_h.size
@@ -94,23 +96,26 @@ def gru_cell(x, h, w_i, w_h, b_i, b_h):
     return _gru_fwd_impl(x, h, w_i, w_h, b_i, b_h)
 
 
-def _gru_fwd(x, h, w_i, w_h, b_i, b_h):
-    # recompute-friendly residuals: keep the (cheap) gate pre-activations
+def _gru_gates(x, h, w_i, w_h, b_i, b_h):
+    # recompute-friendly residuals: the (cheap) gate activations
     gi = x @ w_i + b_i
     gh = h @ w_h + b_h
-    hid = h.shape[-1]
     i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
     h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
     r = jax.nn.sigmoid(i_r + h_r)
     z = jax.nn.sigmoid(i_z + h_z)
     n = jnp.tanh(i_n + r * h_n)
-    out = (1 - z) * n + z * h
-    return out, (x, h, r, z, n, h_n)
+    return r, z, n, h_n
 
 
 def _gru_fwd2(x, h, w_i, w_h, b_i, b_h):
-    out, res = _gru_fwd(x, h, w_i, w_h, b_i, b_h)
-    return out, res + (w_i, w_h)
+    # the PRIMAL comes from the fused kernel — identical numerics in grad
+    # and no-grad contexts (r3 review: the old fwd recomposed the cell in
+    # XLA, silently bypassing the kernel under differentiation); the gate
+    # residuals for the backward are recomputed with two small matmuls
+    out = _gru_fwd_impl(x, h, w_i, w_h, b_i, b_h)
+    r, z, n, h_n = _gru_gates(x, h, w_i, w_h, b_i, b_h)
+    return out, (x, h, r, z, n, h_n, w_i, w_h)
 
 
 def _gru_bwd2(res, g):
@@ -231,13 +236,13 @@ def _gru_scan_impl(h0, cond_proj, w_i, w_h, b_i, b_h, w_ar, w_out, b_out,
             else functools.partial(_gru_scan_kernel, hid=hid))
     out_specs = pl.BlockSpec((1, b, feat), lambda t: (t, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((n_frames, b, feat), h0.dtype)
+    out_shape = _vma_sds((n_frames, b, feat), h0.dtype, h0, cond_proj)
     if with_h:
         out_specs = [out_specs,
                      pl.BlockSpec((1, b, hid), lambda t: (t, 0, 0),
                                   memory_space=pltpu.VMEM)]
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((n_frames, b, hid), h0.dtype)]
+                     _vma_sds((n_frames, b, hid), h0.dtype, h0, cond_proj)]
     out = pl.pallas_call(
         kern,
         grid=(n_frames,),
@@ -445,15 +450,15 @@ def _gru_scan_bwd(n_frames, res, g):
             full2((1, feat)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, hid), h0.dtype),
-            jax.ShapeDtypeStruct((b, feat), cond_proj.dtype),
-            jax.ShapeDtypeStruct((in_dim, 3 * hid), w_i.dtype),
-            jax.ShapeDtypeStruct((hid, 3 * hid), w_h.dtype),
-            jax.ShapeDtypeStruct((1, 3 * hid), b_i.dtype),
-            jax.ShapeDtypeStruct((1, 3 * hid), b_h.dtype),
-            jax.ShapeDtypeStruct((feat, feat), w_ar.dtype),
-            jax.ShapeDtypeStruct((hid, feat), w_out.dtype),
-            jax.ShapeDtypeStruct((1, feat), b_out.dtype),
+            _vma_sds((b, hid), h0.dtype, h0, g_nbf),
+            _vma_sds((b, feat), cond_proj.dtype, h0, g_nbf),
+            _vma_sds((in_dim, 3 * hid), w_i.dtype, h0, g_nbf),
+            _vma_sds((hid, 3 * hid), w_h.dtype, h0, g_nbf),
+            _vma_sds((1, 3 * hid), b_i.dtype, h0, g_nbf),
+            _vma_sds((1, 3 * hid), b_h.dtype, h0, g_nbf),
+            _vma_sds((feat, feat), w_ar.dtype, h0, g_nbf),
+            _vma_sds((hid, feat), w_out.dtype, h0, g_nbf),
+            _vma_sds((1, feat), b_out.dtype, h0, g_nbf),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, hid), jnp.float32),          # dh carry

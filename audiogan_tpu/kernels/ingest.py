@@ -163,10 +163,11 @@ def ingest_fused(
         _kernel, rows_blk=rb, clip_len=clip_pad, mode=mode,
         target=float(target), mu=mu, eps=float(eps), valid_len=clip_len,
         zero_slack=(s == clip_len))
+    from audiogan_tpu.kernels.conv import _vma_sds
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, clip_pad), jnp.float32),
+        out_shape=_vma_sds((b, clip_pad), jnp.float32, offsets, raw),
         interpret=_INTERPRET,
     )(offsets.astype(jnp.int32), raw)
     return out[:, :clip_len]

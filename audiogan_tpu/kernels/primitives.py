@@ -109,15 +109,23 @@ convt1d_p.def_abstract_eval(_convt1d_abstract)
 
 
 def _eager_impl(prim):
-    # eager execution routes through the same lowering via jit
+    # eager execution routes through the same lowering via jit; cache the
+    # jitted wrapper per static params — a fresh partial every call would
+    # defeat jit's cache and recompile on every eager invocation
+    cache: dict = {}
+
     def impl(*args, **params):
-        fn = {"audiogan_conv1d": _conv1d_impl,
-              "audiogan_convt1d": _convt1d_impl,
-              "audiogan_conv1d_ba": _conv1d_ba_impl,
-              "audiogan_convt1d_ba": _convt1d_ba_impl,
-              "audiogan_conv1d_wgrad": _conv1d_wgrad_impl,
-              "audiogan_convt1d_wgrad": _convt1d_wgrad_impl}[prim.name]
-        return jax.jit(functools.partial(fn, **params))(*args)
+        key = tuple(sorted(params.items()))
+        fn = cache.get(key)
+        if fn is None:
+            body = {"audiogan_conv1d": _conv1d_impl,
+                    "audiogan_convt1d": _convt1d_impl,
+                    "audiogan_conv1d_ba": _conv1d_ba_impl,
+                    "audiogan_convt1d_ba": _convt1d_ba_impl,
+                    "audiogan_conv1d_wgrad": _conv1d_wgrad_impl,
+                    "audiogan_convt1d_wgrad": _convt1d_wgrad_impl}[prim.name]
+            fn = cache[key] = jax.jit(functools.partial(body, **params))
+        return fn(*args)
     return impl
 
 

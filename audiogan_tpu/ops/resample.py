@@ -20,7 +20,6 @@ assert close agreement.
 
 from __future__ import annotations
 
-import math
 from functools import lru_cache
 
 import jax.numpy as jnp
@@ -28,9 +27,10 @@ import numpy as np
 from jax import lax
 
 
-def _rational(target_rate: int, source_rate: int) -> tuple[int, int]:
-    g = math.gcd(target_rate, source_rate)
-    return target_rate // g, source_rate // g
+# single source of truth for the rate reduction: config.DataCfg's
+# validate-time resampled_len check must agree with the on-device
+# conversion built here
+from audiogan_tpu.config import _ratio as _rational  # noqa: E402
 
 
 @lru_cache(maxsize=None)

@@ -57,12 +57,15 @@ def _wave_critic_score(
     n_layers = len(m.strides)
     idx = lax.axis_index(axis)
     n_cp = lax.axis_size(axis)
+    # honor the configured kernel tier (auto/pallas route the local VALID
+    # convs through the same primitives as the unsharded critic)
+    impl = cfg.train.kernels_d or cfg.train.kernels
 
     h = x_local
     for i, s in enumerate(m.strides):
         w = p[f"conv_{i}_kernel"]
         b = p[f"conv_{i}_bias"]
-        h = cp_conv1d(h, w, stride=s, axis=axis) + b
+        h = cp_conv1d(h, w, stride=s, axis=axis, impl=impl) + b
         h = jax.nn.leaky_relu(h, 0.2)
         if shuffle_key is not None and m.phase_shuffle and i < n_layers - 1:
             k = jax.random.fold_in(shuffle_key, i)
@@ -184,10 +187,11 @@ def cp_generator_forward(
                                  base_len // n_cp, axis=1)
 
     from audiogan_tpu.parallel.halo import cp_conv_transpose1d
+    impl = cfg.train.kernels_g or cfg.train.kernels
     for i, s in enumerate(m.strides):
         w = p[f"convt_{i}_kernel"]
         b = p[f"convt_{i}_bias"]
-        h = cp_conv_transpose1d(h, w, stride=s, axis=axis) + b
+        h = cp_conv_transpose1d(h, w, stride=s, axis=axis, impl=impl) + b
         h = jax.nn.relu(h) if i < n_layers - 1 else jnp.tanh(h)
     return h
 
@@ -247,10 +251,69 @@ def cp_gru_generator_forward(
     feats = cp_chunked_scan(step, (h0, f0), f_loc, axis)  # [F_loc, B, F]
     h = jnp.transpose(feats, (1, 0, 2))
 
+    # (the GRU cell itself stays on the XLA tier here: cp pipelines the
+    # recurrence via cp_chunked_scan's ppermute carry handoff, which the
+    # persistent fused-scan kernel cannot cross)
     strides = factorize_stride(m.gru_frame_size)
+    impl = cfg.train.kernels_g or cfg.train.kernels
     for i, s in enumerate(strides):
         w = p[f"up_{i}_kernel"]
         bb = p[f"up_{i}_bias"]
-        h = cp_conv_transpose1d(h, w, stride=s, axis=axis) + bb
+        h = cp_conv_transpose1d(h, w, stride=s, axis=axis, impl=impl) + bb
         h = jax.nn.relu(h) if i < len(strides) - 1 else jnp.tanh(h)
     return h
+
+
+def cp_batch_spectral_matching_loss(
+    fake_loc: jnp.ndarray,
+    real_loc: jnp.ndarray,
+    resolutions,
+    axis: str = "cp",
+) -> jnp.ndarray:
+    """Time-sharded equivalent of losses.stft_loss.batch_spectral_matching_
+    loss (the dual_stft G term): each shard frames its hop-aligned slice
+    with one right halo of (win - hop) samples — exactly the cp STFT-critic
+    recipe — computes the local rows of the batch-mean magnitude spectra,
+    and the spectral-convergence / log-magnitude reductions psum their
+    frame sums over cp. Frames past the global (T - win)//hop + 1 count
+    (which read the zeros a non-cyclic ppermute delivers at the clip edge)
+    are masked out, so the result equals the unsharded loss exactly
+    (tests/parallel/test_cp_step.py::test_cp_step_stft_loss...).
+
+    fake_loc/real_loc: [B, T_loc] local time slices (same batch on every
+    cp shard, like the rest of the cp step).
+    """
+    from audiogan_tpu.ops.stft import stft_magnitude
+    from audiogan_tpu.parallel.halo import gather_halo
+
+    idx = lax.axis_index(axis)
+    n_cp = lax.axis_size(axis)
+    t_loc = fake_loc.shape[1]
+    total = 0.0
+    for n_fft, hop, win in resolutions:
+        assert t_loc % hop == 0, (
+            f"cp shard length {t_loc} must be divisible by hop {hop} "
+            f"(config.validate enforces this for stft_loss under cp)")
+        assert win - hop <= t_loc, "halo wider than one shard"
+        f_loc = t_loc // hop
+        n_valid = (n_cp * t_loc - win) // hop + 1
+        gidx = idx * f_loc + jnp.arange(f_loc)
+        mask = (gidx < n_valid).astype(jnp.float32)[:, None]   # [f_loc, 1]
+
+        def _mag(x):
+            x_ext = gather_halo(x, 0, win - hop, axis)
+            m = stft_magnitude(x_ext, n_fft, hop, win)         # [B,f_loc,F]
+            return jnp.mean(m, axis=0)                         # [f_loc, F]
+
+        fm, rm = _mag(fake_loc), _mag(real_loc)
+        # spectral convergence: global Frobenius norms over (frames, bins)
+        num = jnp.sqrt(lax.psum(jnp.sum(jnp.square((rm - fm)) * mask),
+                                axis))
+        den = jnp.sqrt(lax.psum(jnp.sum(jnp.square(rm) * mask), axis))
+        sc = num / (den + 1e-8)
+        # log-magnitude L1: global mean over valid (frames, bins)
+        la = lax.psum(jnp.sum(jnp.abs(jnp.log(fm + 1e-7)
+                                      - jnp.log(rm + 1e-7)) * mask), axis)
+        lm = la / (n_valid * fm.shape[-1])
+        total = total + sc + lm
+    return total / len(resolutions)

@@ -41,8 +41,9 @@ from jax.sharding import PartitionSpec as P
 from audiogan_tpu.config import Config
 from audiogan_tpu.losses import wgan_d_loss, wgan_g_loss
 from audiogan_tpu.ops.ingest import ingest_batch
-from audiogan_tpu.parallel.cp_models import (cp_discriminator_forward,
-                                             cp_generator_forward)
+from audiogan_tpu.parallel.cp_models import (
+    cp_batch_spectral_matching_loss, cp_discriminator_forward,
+    cp_generator_forward)
 from audiogan_tpu.parallel.mesh import data_axes
 from audiogan_tpu.train.state import TrainState, make_optimizers
 from audiogan_tpu.utils.prng import split_for_step
@@ -73,6 +74,7 @@ def build_cp_train_step(cfg: Config, mesh) -> Callable:
     """
     n_critic = cfg.loss.n_critic
     gp_lambda = cfg.loss.gp_lambda
+    stft_w = cfg.loss.stft_loss_weight
     latent = cfg.model.latent_dim
     opt_g, opt_d = make_optimizers(cfg)
     conditional = cfg.data.num_classes > 0
@@ -120,7 +122,10 @@ def build_cp_train_step(cfg: Config, mesh) -> Callable:
             k = jax.random.fold_in(step_key, i)
             k_crop, k_z, k_eps, k_lab, k_s1, k_s2, k_s3 = \
                 jax.random.split(k, 7)
-            real = ingest_batch(raw_v, cfg.data, k_crop)[..., None]
+            real = ingest_batch(
+                raw_v, cfg.data, k_crop,
+                kernels=cfg.train.kernels_ingest or cfg.train.kernels,
+            )[..., None]
             real_loc = lax.dynamic_slice_in_dim(real, cp_idx * t_loc, t_loc,
                                                 axis=1)
             bsz = real.shape[0]
@@ -158,18 +163,39 @@ def build_cp_train_step(cfg: Config, mesh) -> Callable:
             d_micro, (state.params_d, state.opt_d), views)
 
         kg = jax.random.fold_in(step_key, n_critic + 1)
-        k_z, k_lab, k_shuf = jax.random.split(kg, 3)
+        # split(kg, 4)[:3] == split(kg, 3) (counter-mode bits), so adding
+        # k_crop keeps the z/label/shuffle streams identical to
+        # train/step.py — the cp==unsharded equality tests depend on it
+        k_z, k_lab, k_shuf, k_crop = jax.random.split(kg, 4)
         bsz = raw.shape[1]
         lab_g = (jax.random.randint(k_lab, (bsz,), 0, cfg.data.num_classes)
                  if conditional else None)
         skg = k_shuf if cfg.model.phase_shuffle else None
 
+        if stft_w > 0:
+            # the G spectral-matching term's own real view (train/step.py):
+            # ingest the full clip (cheap elementwise), slice the shard
+            real_g = ingest_batch(
+                raw[n_critic], cfg.data, k_crop,
+                kernels=cfg.train.kernels_ingest or cfg.train.kernels)
+            real_g_loc = lax.dynamic_slice_in_dim(
+                real_g, cp_idx * t_loc, t_loc, axis=1)
+
         def g_loss_fn(p):
             z = jax.random.normal(k_z, (bsz, latent))
             fake_loc = g_apply(p, z, lab_g)
-            return wgan_g_loss(d_apply(params_d, fake_loc, lab_g, skg))
+            loss = wgan_g_loss(d_apply(params_d, fake_loc, lab_g, skg))
+            aux = {}
+            if stft_w > 0:
+                sl = cp_batch_spectral_matching_loss(
+                    fake_loc[..., 0], real_g_loc,
+                    cfg.model.stft_resolutions, "cp")
+                loss = loss + stft_w * sl
+                aux["stft_loss"] = sl
+            return loss, aux
 
-        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.params_g)
+        (g_loss, g_aux), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.params_g)
         g_grads = finalize_grads(g_grads)
         g_updates, opt_g_state = opt_g.update(g_grads, state.opt_g,
                                               state.params_g)
@@ -178,6 +204,7 @@ def build_cp_train_step(cfg: Config, mesh) -> Callable:
 
         metrics = {k: v[-1] for k, v in d_metrics.items()}
         metrics["g_loss"] = g_loss
+        metrics.update(g_aux)
         metrics = jax.lax.pmean(jax.lax.pmean(metrics, batch_axes), "cp")
         new_state = state.replace(step=state.step + 1, params_g=params_g,
                                   params_d=params_d, opt_g=opt_g_state,

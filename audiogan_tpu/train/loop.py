@@ -65,6 +65,16 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
     corpus = resolve_corpus(cfg, workdir)
     if cfg.data.num_classes and corpus.meta.get("num_classes", 0) == 0:
         raise ValueError("conditional config but corpus has no labels")
+    # a rate/length mismatch would otherwise train silently at the wrong
+    # sample rate (ingest trusts cfg.data, not the corpus metadata)
+    for field, want in (("source_rate", cfg.data.source_rate),
+                        ("store_len", cfg.data.store_len)):
+        got = corpus.meta.get(field)
+        if got is not None and got != want:
+            raise ValueError(
+                f"corpus {field}={got} but config data.{field}={want} — "
+                f"repack the corpus or fix the config (clips would be "
+                f"misinterpreted silently)")
 
     # single-process: ('data','cp') ICI mesh; under jax.distributed:
     # ('dcn','data','cp') hybrid, DP-only over DCN (SURVEY section 2.4)
@@ -122,6 +132,7 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
     total = cfg.train.total_steps
     metrics = {}
     t_log = time.time()
+    last_logged = start
 
     # Host prefetch (SURVEY C6): the batcher thread samples ahead while the
     # device steps; device_put of the NEXT batch overlaps the current step
@@ -156,8 +167,10 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
         if (step + 1) % cfg.train.log_every == 0 or step + 1 == total:
             metrics = jax.device_get(metrics)  # sync point
             dt = time.time() - t_log
-            steps_done = cfg.train.log_every if (step + 1) % \
-                cfg.train.log_every == 0 else (step % cfg.train.log_every) + 1
+            # steps actually timed since the last log — a resume from a
+            # non-boundary step would otherwise inflate the first point
+            steps_done = step + 1 - last_logged
+            last_logged = step + 1
             sps = steps_done / max(dt, 1e-9)
             audio_sec = (sps * cfg.train.batch_size * cfg.loss.n_critic *
                          cfg.data.clip_len / cfg.data.sample_rate)

@@ -44,8 +44,8 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from audiogan_tpu.config import Config
-from audiogan_tpu.losses import (gradient_penalty, wgan_d_loss,
-                                 wgan_g_loss)
+from audiogan_tpu.losses import (batch_spectral_matching_loss,
+                                 gradient_penalty, wgan_d_loss, wgan_g_loss)
 from audiogan_tpu.models import build_generator
 from audiogan_tpu.ops.ingest import ingest_batch
 from audiogan_tpu.parallel.mesh import data_axes
@@ -59,6 +59,7 @@ def build_tp_train_step(cfg: Config, mesh) -> Callable:
     channel-parallel over 'tp' and the batch sharded over 'data'."""
     n_critic = cfg.loss.n_critic
     gp_lambda = cfg.loss.gp_lambda
+    stft_w = cfg.loss.stft_loss_weight
     latent = cfg.model.latent_dim
     opt_g, opt_d = make_optimizers(cfg)
     conditional = cfg.data.num_classes > 0
@@ -100,7 +101,10 @@ def build_tp_train_step(cfg: Config, mesh) -> Callable:
             k = jax.random.fold_in(step_key, i)
             k_crop, k_z, k_eps, k_lab, k_s1, k_s2, k_s3 = \
                 jax.random.split(k, 7)
-            real = ingest_batch(raw_v, cfg.data, k_crop)[..., None]
+            real = ingest_batch(
+                raw_v, cfg.data, k_crop,
+                kernels=cfg.train.kernels_ingest or cfg.train.kernels,
+            )[..., None]
             bsz = real.shape[0]
             lab_f = (jax.random.randint(k_lab, (bsz,), 0,
                                         cfg.data.num_classes)
@@ -141,18 +145,35 @@ def build_tp_train_step(cfg: Config, mesh) -> Callable:
             d_micro, (state.params_d, state.opt_d), views)
 
         kg = jax.random.fold_in(step_key, n_critic + 1)
-        k_z, k_lab, k_shuf = jax.random.split(kg, 3)
+        # split(kg, 4)[:3] == split(kg, 3) (counter-mode bits): adding
+        # k_crop keeps z/label/shuffle identical to train/step.py
+        k_z, k_lab, k_shuf, k_crop = jax.random.split(kg, 4)
         bsz = raw.shape[1]
         lab_g = (jax.random.randint(k_lab, (bsz,), 0, cfg.data.num_classes)
                  if conditional else None)
         skg = k_shuf if cfg.model.phase_shuffle else None
 
+        if stft_w > 0:
+            # the G spectral-matching term's own real view (train/step.py);
+            # x is full-length and tp-replicated, so the plain loss applies
+            real_g = ingest_batch(
+                raw[n_critic], cfg.data, k_crop,
+                kernels=cfg.train.kernels_ingest or cfg.train.kernels)
+
         def g_loss_fn(p):
             z = jax.random.normal(k_z, (bsz, latent))
             fake = g_apply(p, z, lab_g)
-            return wgan_g_loss(d_apply(params_d, fake, lab_g, skg))
+            loss = wgan_g_loss(d_apply(params_d, fake, lab_g, skg))
+            aux = {}
+            if stft_w > 0:
+                sl = batch_spectral_matching_loss(
+                    fake[..., 0], real_g, cfg.model.stft_resolutions)
+                loss = loss + stft_w * sl
+                aux["stft_loss"] = sl
+            return loss, aux
 
-        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.params_g)
+        (g_loss, g_aux), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.params_g)
         g_grads = finalize_grads(g_grads)
         g_updates, opt_g_state = opt_g.update(g_grads, state.opt_g,
                                               state.params_g)
@@ -161,6 +182,7 @@ def build_tp_train_step(cfg: Config, mesh) -> Callable:
 
         metrics = {k: v[-1] for k, v in d_metrics.items()}
         metrics["g_loss"] = g_loss
+        metrics.update(g_aux)
         metrics = jax.lax.pmean(jax.lax.pmean(metrics, batch_axes), "tp")
         new_state = state.replace(step=state.step + 1, params_g=params_g,
                                   params_d=params_d, opt_g=opt_g_state,

@@ -86,6 +86,13 @@ int64_t ag_decode_wav_to_store(const uint8_t* data, int64_t size,
             n_ch = r.u16(body + 2);
             rate = r.u32(body + 4);
             bits = r.u16(body + 14);
+            if (fmt == 0xFFFE && chunk >= 26) {
+                // WAVE_FORMAT_EXTENSIBLE: the real format code is the
+                // first 2 bytes of the SubFormat GUID (16 base + cbSize 2
+                // + validBits 2 + channelMask 4) — bit depth alone
+                // misreads extensible float32 as int32 PCM
+                fmt = r.u16(body + 24);
+            }
             have_fmt = true;
         } else if (std::memcmp(hdr, "data", 4) == 0) {
             raw = body;
@@ -94,7 +101,7 @@ int64_t ag_decode_wav_to_store(const uint8_t* data, int64_t size,
         r.pos += 8 + chunk + (chunk & 1);
     }
     if (!have_fmt || raw == nullptr) return kErrNoFmt;
-    if (fmt == 0xFFFE) fmt = 1;  // WAVE_FORMAT_EXTENSIBLE: treat as PCM
+    if (fmt == 0xFFFE) return kErrUnsupported;  // EXTENSIBLE w/o SubFormat
     if (n_ch == 0) return kErrUnsupported;
     *rate_out = static_cast<int32_t>(rate);
 

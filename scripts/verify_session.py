@@ -130,8 +130,57 @@ def sampler_batch_ab():
                       {str(k): v for k, v in res.items()}}), flush=True)
 
 
+def flow_cp_pallas():
+    """Compiled shard_map + Pallas on the real chip (cp=1 mesh): the
+    mechanism CI cannot execute (interpret-mode pallas bodies cannot be
+    discharged inside a vma-checked shard_map, and cp>1 needs >1 chip).
+    At cp=1 the halos are identity but everything else — check_vma
+    shard_map, psums, Mosaic kernels with vma-typed out shapes — is the
+    real cp code path. xla vs pallas tiers must agree."""
+    banner("flow 6: compiled shard_map+pallas cp step (cp=1, real chip)")
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from audiogan_tpu.config import (Config, DataCfg, LossCfg, MeshCfg,
+                                     ModelCfg, TrainCfg)
+    from audiogan_tpu.train.cp_step import build_cp_train_step
+    from audiogan_tpu.train.state import create_train_state
+    from audiogan_tpu.train.step import num_views
+
+    res = {}
+    for tier in ("xla", "pallas"):
+        cfg = Config(
+            name="cp1_hw",
+            data=DataCfg(clip_len=1024, store_len=1280),
+            model=ModelCfg(generator="wavegan", model_dim=32,
+                           kernel_size=25, strides=(4, 4, 4),
+                           max_channels=128, phase_shuffle=1),
+            loss=LossCfg(n_critic=2),
+            train=TrainCfg(batch_size=8, kernels=tier),
+            mesh=MeshCfg(dp=1, cp=1),
+        ).validate()
+        mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                    ("data", "cp"))
+        state = create_train_state(cfg)
+        step = build_cp_train_step(cfg, mesh)(state)
+        rng = np.random.default_rng(0)
+        n = num_views(cfg)
+        clips = (rng.standard_normal((n, 8, cfg.data.store_len)) * 8000
+                 ).clip(-32768, 32767).astype(np.int16)
+        labels = np.zeros((n, 8), np.int32)
+        state, m = step(state, clips, labels)
+        res[tier] = {k: float(v) for k, v in jax.device_get(m).items()}
+        print(tier, json.dumps(res[tier]), flush=True)
+    import numpy.testing as npt
+    for k in res["xla"]:
+        npt.assert_allclose(res["pallas"][k], res["xla"][k],
+                            rtol=2e-2, atol=2e-3, err_msg=k)
+    print("cp=1 shard_map pallas == xla on HW", flush=True)
+
+
 FLOWS = {"ingest": flow_ingest, "train": flow_train, "sample": flow_sample,
-         "bench": flow_bench, "sampler_ab": sampler_batch_ab}
+         "bench": flow_bench, "sampler_ab": sampler_batch_ab,
+         "cp_pallas": flow_cp_pallas}
 
 if __name__ == "__main__":
     t0 = time.time()

@@ -85,3 +85,36 @@ def test_ingest_tier_step_equality():
     for k in hist["xla"]:
         np.testing.assert_allclose(hist["pallas"][k], hist["xla"][k],
                                    rtol=2e-4, atol=1e-5, err_msg=k)
+
+
+def test_cp_step_pallas_tier_traces():
+    """cfg.train.kernels now reaches the cp step's halo convs (the r3
+    review found the cp path hardwired to xla). Full pallas-tier cp
+    EXECUTION is unverifiable in CI: interpret-mode pallas kernel bodies
+    cannot be discharged inside a vma-checked shard_map (JAX raises
+    'Primitive mul requires varying manual axes to match' from the
+    hlo_interpreter — kernel bodies carry no pvary plumbing), and the
+    compiled path needs >1 real TPU chip. What CI CAN pin: the cp=2
+    pallas step traces end-to-end — every pallas_call's out_shape now
+    carries the shard-varying vma of its operands (kernels _vma_sds),
+    which is the piece that used to fail at trace time. The compiled
+    shard_map+pallas mechanism itself runs on HW at cp=1
+    (scripts/verify_session.py flow cp_pallas)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from audiogan_tpu.config import MeshCfg
+    from audiogan_tpu.train.cp_step import build_cp_train_step
+
+    base = _cfg("pallas")
+    cfg = dataclasses.replace(
+        base, mesh=MeshCfg(dp=1, cp=2),
+        model=dataclasses.replace(base.model, phase_shuffle=0))
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(1, 2),
+                ("data", "cp"))
+    state = create_train_state(cfg)
+    step = build_cp_train_step(cfg, mesh)(state)
+    clips, labels = raw_batch(cfg, seed=5)
+    out = jax.eval_shape(step, state, clips, labels)
+    new_state_shape, metrics_shape = out
+    assert set(metrics_shape) >= {"d_loss", "g_loss", "gp"}

@@ -133,3 +133,38 @@ def test_cp_step_music_geometry():
     mesh = _mesh(2, 4)
     state, hist = _run_cp(cfg, mesh, steps=1)
     assert all(np.isfinite(v) for m in hist for v in m.values())
+
+
+def test_cp_step_stft_loss_matches_unsharded():
+    """The G spectral-matching term under cp (cp_batch_spectral_matching_
+    loss: hop-aligned local frames + (win-hop) halo + psum'd reductions)
+    equals the plain step's batch_spectral_matching_loss exactly — the
+    term the r3 review found silently dropped."""
+    import dataclasses as dc
+    from jax.sharding import PartitionSpec as P
+    cfg = _cfg(dp=1, cp=2)
+    cfg = dc.replace(
+        cfg,
+        model=dc.replace(cfg.model,
+                         stft_resolutions=((128, 32, 128), (256, 64, 256))),
+        loss=dc.replace(cfg.loss, stft_loss_weight=1.0))
+    _, h_cp = _run_cp(cfg, _mesh(1, 2))
+
+    ref_mesh = _mesh(1, 1)
+    body = build_train_step(cfg, axis_name="data")
+    state = create_train_state(cfg)
+    specs = jax.tree.map(lambda _: P(), state)
+    fn = jax.jit(jax.shard_map(
+        body, mesh=ref_mesh,
+        in_specs=(specs, P(None, "data", None), P(None, "data")),
+        out_specs=(specs, P()), check_vma=True))
+    h_ref = []
+    for s in range(2):
+        clips, labels = raw_batch(cfg, seed=100 + s)
+        state, m = fn(state, clips, labels)
+        h_ref.append(jax.device_get(m))
+
+    for mc, mr in zip(h_cp, h_ref):
+        for k in ("d_loss", "g_loss", "stft_loss"):
+            np.testing.assert_allclose(mc[k], mr[k], rtol=5e-4, atol=1e-5,
+                                       err_msg=k)

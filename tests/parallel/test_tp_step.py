@@ -90,3 +90,38 @@ def test_validate_rejects_bad_tp():
     with pytest.raises(ValueError, match="cp>1"):
         cfg = tiny_config()
         dataclasses.replace(cfg, mesh=MeshCfg(dp=1, cp=2, tp=2)).validate()
+
+
+def test_tp_step_stft_loss_matches_unsharded():
+    """The G spectral-matching term under tp (full-length, tp-replicated
+    clips -> the plain loss) — the term the r3 review found silently
+    dropped from tp_step's g_loss. Reference: the plain step body (which
+    has always had the term) shard_map'd on one device."""
+    from jax.sharding import PartitionSpec as P
+    cfg = _cfg(dp=1, tp=2)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, stft_resolutions=((128, 32, 128), (256, 64, 256))),
+        loss=dataclasses.replace(cfg.loss, stft_loss_weight=1.0))
+    _, h_tp = _run_tp(cfg)
+
+    ref_mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                    ("data", "cp"))
+    body = build_train_step(cfg, axis_name="data")
+    state = create_train_state(cfg)
+    specs = jax.tree.map(lambda _: P(), state)
+    fn = jax.jit(jax.shard_map(
+        body, mesh=ref_mesh,
+        in_specs=(specs, P(None, "data", None), P(None, "data")),
+        out_specs=(specs, P()), check_vma=True))
+    h_ref = []
+    for s in range(2):
+        clips, labels = raw_batch(cfg, seed=100 + s)
+        state, m = fn(state, clips, labels)
+        h_ref.append(jax.device_get(m))
+
+    for mt, mr in zip(h_tp, h_ref):
+        for k in ("d_loss", "g_loss", "stft_loss"):
+            np.testing.assert_allclose(mt[k], mr[k], rtol=5e-4, atol=1e-5,
+                                       err_msg=k)

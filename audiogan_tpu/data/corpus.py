@@ -108,11 +108,17 @@ class HostBatcher:
         self._thread: threading.Thread | None = None
 
     def _sample(self, step: int) -> tuple[np.ndarray, np.ndarray]:
+        from audiogan_tpu.data import native
+
         rng = np.random.default_rng((self.seed, step))
         idx = rng.integers(0, len(self.corpus),
                            size=(self.n_views, self.batch_size))
-        return (np.ascontiguousarray(self.corpus.clips[idx]),
-                np.ascontiguousarray(self.corpus.labels[idx]))
+        # native C++ gather (csrc/batcher.cpp) when built — byte-identical
+        # to the numpy fancy-index fallback (tests/data/test_native.py)
+        clips = native.gather_rows(self.corpus.clips, idx)
+        if clips is None:
+            clips = np.ascontiguousarray(self.corpus.clips[idx])
+        return clips, np.ascontiguousarray(self.corpus.labels[idx])
 
     def get(self, step: int) -> tuple[np.ndarray, np.ndarray]:
         return self._sample(step)

@@ -33,6 +33,17 @@ def load() -> ctypes.CDLL | None:
         lib.ag_abi_version.restype = ctypes.c_int32
         if lib.ag_abi_version() != 1:
             return None
+        try:  # batcher entry points (csrc/batcher.cpp); older .so lacks them
+            lib.ag_batcher_abi_version.restype = ctypes.c_int32
+            lib.ag_gather_rows.restype = ctypes.c_int64
+            lib.ag_gather_rows.argtypes = [
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int32]
+            lib._ag_has_batcher = lib.ag_batcher_abi_version() == 1
+        except AttributeError:
+            lib._ag_has_batcher = False
         _lib = lib
         return lib
     except OSError:
@@ -62,3 +73,31 @@ def decode_to_store(data: bytes, store_len: int
     if n < 0:
         return None
     return int(rate.value), out
+
+
+def gather_rows(clips: np.ndarray, idx: np.ndarray,
+                n_threads: int = 0) -> np.ndarray | None:
+    """Native batch gather: rows of the int16 clip store selected by idx.
+
+    clips is the [N, store_len] int16 memmap; idx any integer array — the
+    result has shape idx.shape + (store_len,), byte-identical to
+    ``clips[idx]`` (pinned by tests/data/test_native.py). Returns None when
+    the lib is absent or predates the batcher ABI (caller falls back to
+    numpy fancy indexing).
+    """
+    lib = load()
+    if lib is None or not lib._ag_has_batcher:
+        return None
+    assert (clips.dtype == np.int16 and clips.ndim == 2
+            and clips.flags["C_CONTIGUOUS"])
+    flat = np.ascontiguousarray(idx, dtype=np.int64).reshape(-1)
+    out = np.empty((flat.size, clips.shape[1]), dtype=np.int16)
+    n = lib.ag_gather_rows(
+        clips.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        clips.shape[0], clips.shape[1],
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), flat.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n_threads)
+    if n != flat.size:
+        raise ValueError(f"native gather failed (rc={n}): index out of "
+                         f"range for corpus of {clips.shape[0]} clips")
+    return out.reshape(*idx.shape, clips.shape[1])

@@ -76,7 +76,8 @@ int64_t ag_decode_wav_to_store(const uint8_t* data, int64_t size,
         const uint8_t* hdr = data + r.pos;
         uint32_t chunk = r.u32(hdr + 4);
         const uint8_t* body = hdr + 8;
-        if (r.pos + 8 + chunk > static_cast<uint64_t>(size)) {
+        if (r.pos + 8 + static_cast<uint64_t>(chunk)
+                > static_cast<uint64_t>(size)) {
             // tolerate a truncated final chunk only for non-essential chunks
             if (std::memcmp(hdr, "data", 4) == 0) return kErrTruncated;
             break;

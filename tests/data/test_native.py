@@ -52,3 +52,38 @@ def test_build_corpus_native_equals_fallback(tmp_path, monkeypatch):
 
 def test_garbage_returns_none():
     assert native.decode_to_store(b"not a wav at all", 128) is None
+
+
+def test_gather_rows_matches_fancy_index(rng):
+    clips = rng.integers(-32768, 32767, size=(37, 513)).astype(np.int16)
+    idx = rng.integers(0, 37, size=(5, 11))
+    got = native.gather_rows(clips, idx)
+    np.testing.assert_array_equal(got, clips[idx])
+    # explicit multi-thread path (worker count > 1 even on a 1-CPU host)
+    got4 = native.gather_rows(clips, idx, n_threads=4)
+    np.testing.assert_array_equal(got4, clips[idx])
+
+
+def test_gather_rows_out_of_range_raises(rng):
+    clips = np.zeros((4, 8), np.int16)
+    with pytest.raises(ValueError, match="out of range"):
+        native.gather_rows(clips, np.array([0, 4]))
+    with pytest.raises(ValueError, match="out of range"):
+        native.gather_rows(clips, np.array([-1]))
+
+
+def test_host_batcher_native_equals_numpy(tmp_path, monkeypatch):
+    """The full HostBatcher stream is byte-identical with the native gather
+    on and off (determinism/resume depends on this, SURVEY §5)."""
+    from audiogan_tpu.data import Corpus, HostBatcher
+
+    wavs = make_synthetic_sc09(tmp_path / "w", n_per_class=3, num_classes=4,
+                               clip_len=900)
+    corpus = Corpus(build_corpus(wavs, tmp_path / "c", store_len=1024))
+    b = HostBatcher(corpus, batch_size=6, n_views=3, seed=7)
+    native_batches = [b.get(s) for s in range(3)]
+    monkeypatch.setattr(native, "gather_rows", lambda *a, **k: None)
+    for s, (clips, labels) in enumerate(native_batches):
+        c2, l2 = b.get(s)
+        np.testing.assert_array_equal(clips, c2)
+        np.testing.assert_array_equal(labels, l2)

@@ -161,8 +161,6 @@ class Config:
         if self.mesh.tp > 1:
             if self.mesh.cp > 1:
                 raise ValueError("tp>1 with cp>1 is not supported")
-            if self.mesh.fsdp:
-                raise ValueError("tp>1 with fsdp is not supported")
             if m.use_stft_critic:
                 raise ValueError(
                     "tp covers the wave critic only (no STFT critic)")
@@ -193,8 +191,6 @@ class Config:
                             "shards and a (win-hop) halo within one shard: "
                             f"shard len {t_loc}, resolution "
                             f"({n_fft},{hop},{win})")
-            if self.mesh.fsdp:
-                raise ValueError("cp>1 with fsdp is not supported yet")
             if m.generator == "wavegan":
                 base = d.clip_len // m.total_stride
                 if base % self.mesh.cp != 0:

@@ -58,6 +58,56 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def fsdp_shardable(x: Any, dp: int) -> bool:
+    """Leading-axis divisibility rule for ZeRO-1 optimizer-state sharding.
+    The single source of truth shared by state_shardings (annotation path),
+    the cp-step shard_map in/out specs, and its in-body sharded update
+    (train/cp_step.py) — the three MUST agree per leaf."""
+    return x.ndim >= 1 and x.shape[0] >= dp and x.shape[0] % dp == 0
+
+
+def zero1_update(opt, grads, opt_state, params, fsdp: bool, dp: int):
+    """Optimizer update, optionally with ZeRO-1 optimizer-state sharding
+    inside a shard_map body (SURVEY §2.3 FSDP row composed with CP/TP;
+    arXiv:2004.13336 applied manually because annotation-based sharding
+    cannot reach inside shard_map).
+
+    grads and params are full/replicated here (the vma transpose already
+    all-reduced the grads); with fsdp on, each fsdp_shardable optimizer leaf
+    arrives as this device's 1/dp leading-axis shard (in_specs P('data')).
+    The device updates only its slice of Adam state + params, then the full
+    update tensor is reassembled with a masked psum over 'data' — an
+    all-gather that also clears the device-varying type so the updated
+    params stay replicated. Bit-equivalent to the replicated update
+    (tests/parallel/test_cp_step.py::test_cp_fsdp_matches_replicated).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    if not fsdp:
+        return opt.update(grads, opt_state, params)
+    idx = lax.axis_index("data")
+
+    def slc(x):
+        if fsdp_shardable(x, dp):
+            blk = x.shape[0] // dp
+            return lax.dynamic_slice_in_dim(x, idx * blk, blk, axis=0)
+        return x
+
+    u_loc, new_opt = opt.update(jax.tree.map(slc, grads), opt_state,
+                                jax.tree.map(slc, params))
+
+    def gather(u, p):
+        if not fsdp_shardable(p, dp):
+            return u
+        buf = jnp.zeros(p.shape, u.dtype)
+        buf = lax.dynamic_update_slice_in_dim(buf, u, idx * u.shape[0],
+                                              axis=0)
+        return lax.psum(buf, "data")
+
+    return jax.tree.map(gather, u_loc, params), new_opt
+
+
 def state_shardings(mesh: Mesh, state: Any, fsdp: bool = False) -> Any:
     """Sharding map for the TrainState.
 
@@ -74,7 +124,7 @@ def state_shardings(mesh: Mesh, state: Any, fsdp: bool = False) -> Any:
     dp = mesh.shape["data"]
 
     def opt_leaf(x):
-        if x.ndim >= 1 and x.shape[0] % dp == 0 and x.shape[0] >= dp:
+        if fsdp_shardable(x, dp):
             return NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
         return rep
 

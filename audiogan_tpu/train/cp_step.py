@@ -44,7 +44,8 @@ from audiogan_tpu.ops.ingest import ingest_batch
 from audiogan_tpu.parallel.cp_models import (
     cp_batch_spectral_matching_loss, cp_discriminator_forward,
     cp_generator_forward)
-from audiogan_tpu.parallel.mesh import data_axes
+from audiogan_tpu.parallel.mesh import (data_axes, fsdp_shardable,
+                                        zero1_update)
 from audiogan_tpu.train.state import TrainState, make_optimizers
 from audiogan_tpu.utils.prng import split_for_step
 
@@ -83,6 +84,9 @@ def build_cp_train_step(cfg: Config, mesh) -> Callable:
     # single-process run at dp = dcn*data (parallel.multihost)
     batch_axes = data_axes(mesh)
     n_data = math.prod(mesh.shape[a] for a in batch_axes)
+    # ZeRO-1: optimizer state sharded over 'data' only (replicated over
+    # 'dcn' on a hybrid mesh — DCN carries nothing but the DP grad sum)
+    fsdp, dp_size = cfg.mesh.fsdp, mesh.shape["data"]
 
     if cfg.model.generator == "gru":
         from audiogan_tpu.parallel.cp_models import cp_gru_generator_forward
@@ -152,7 +156,8 @@ def build_cp_train_step(cfg: Config, mesh) -> Callable:
             (d_loss, (w_dist, gp, gnorm)), grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(params_d)
             grads = finalize_grads(grads)
-            updates, opt_d_state = opt_d.update(grads, opt_d_state, params_d)
+            updates, opt_d_state = zero1_update(
+                opt_d, grads, opt_d_state, params_d, fsdp, dp_size)
             params_d = jax.tree.map(lambda a, u: a + u, params_d, updates)
             return (params_d, opt_d_state), dict(
                 d_loss=d_loss, w_dist=w_dist, gp=gp, gp_grad_norm=gnorm)
@@ -197,8 +202,8 @@ def build_cp_train_step(cfg: Config, mesh) -> Callable:
         (g_loss, g_aux), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.params_g)
         g_grads = finalize_grads(g_grads)
-        g_updates, opt_g_state = opt_g.update(g_grads, state.opt_g,
-                                              state.params_g)
+        g_updates, opt_g_state = zero1_update(
+            opt_g, g_grads, state.opt_g, state.params_g, fsdp, dp_size)
         params_g = jax.tree.map(lambda a, u: a + u, state.params_g,
                                 g_updates)
 
@@ -213,6 +218,13 @@ def build_cp_train_step(cfg: Config, mesh) -> Callable:
 
     def make(state):
         specs = jax.tree.map(lambda _: P(), state)
+        if fsdp:
+            def opt_spec(x):
+                return (P("data", *([None] * (x.ndim - 1)))
+                        if fsdp_shardable(x, dp_size) else P())
+            specs = specs.replace(
+                opt_g=jax.tree.map(opt_spec, state.opt_g),
+                opt_d=jax.tree.map(opt_spec, state.opt_d))
         fn = jax.shard_map(
             body, mesh=mesh,
             in_specs=(specs, P(None, batch_axes, None),

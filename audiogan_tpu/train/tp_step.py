@@ -48,7 +48,8 @@ from audiogan_tpu.losses import (batch_spectral_matching_loss,
                                  gradient_penalty, wgan_d_loss, wgan_g_loss)
 from audiogan_tpu.models import build_generator
 from audiogan_tpu.ops.ingest import ingest_batch
-from audiogan_tpu.parallel.mesh import data_axes
+from audiogan_tpu.parallel.mesh import (data_axes, fsdp_shardable,
+                                        zero1_update)
 from audiogan_tpu.parallel.tp_models import tp_discriminator_forward
 from audiogan_tpu.train.state import TrainState, make_optimizers
 from audiogan_tpu.utils.prng import split_for_step
@@ -69,6 +70,8 @@ def build_tp_train_step(cfg: Config, mesh) -> Callable:
     # so the linearized replica index matches single-process dp = dcn*data
     batch_axes = data_axes(mesh)
     n_data = math.prod(mesh.shape[a] for a in batch_axes)
+    # ZeRO-1 over 'data' only (mesh.py zero1_update; same rule as cp_step)
+    fsdp, dp_size = cfg.mesh.fsdp, mesh.shape["data"]
 
     def g_apply(params_g, z, labels):
         if conditional:
@@ -134,7 +137,8 @@ def build_tp_train_step(cfg: Config, mesh) -> Callable:
             (d_loss, (w_dist, gp, gnorm)), grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(params_d)
             grads = finalize_grads(grads)
-            updates, opt_d_state = opt_d.update(grads, opt_d_state, params_d)
+            updates, opt_d_state = zero1_update(
+                opt_d, grads, opt_d_state, params_d, fsdp, dp_size)
             params_d = jax.tree.map(lambda a, u: a + u, params_d, updates)
             return (params_d, opt_d_state), dict(
                 d_loss=d_loss, w_dist=w_dist, gp=gp, gp_grad_norm=gnorm)
@@ -175,8 +179,8 @@ def build_tp_train_step(cfg: Config, mesh) -> Callable:
         (g_loss, g_aux), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.params_g)
         g_grads = finalize_grads(g_grads)
-        g_updates, opt_g_state = opt_g.update(g_grads, state.opt_g,
-                                              state.params_g)
+        g_updates, opt_g_state = zero1_update(
+            opt_g, g_grads, state.opt_g, state.params_g, fsdp, dp_size)
         params_g = jax.tree.map(lambda a, u: a + u, state.params_g,
                                 g_updates)
 
@@ -191,6 +195,13 @@ def build_tp_train_step(cfg: Config, mesh) -> Callable:
 
     def make(state):
         specs = jax.tree.map(lambda _: P(), state)
+        if fsdp:
+            def opt_spec(x):
+                return (P("data", *([None] * (x.ndim - 1)))
+                        if fsdp_shardable(x, dp_size) else P())
+            specs = specs.replace(
+                opt_g=jax.tree.map(opt_spec, state.opt_g),
+                opt_d=jax.tree.map(opt_spec, state.opt_d))
         fn = jax.shard_map(
             body, mesh=mesh,
             in_specs=(specs, P(None, batch_axes, None),

@@ -108,6 +108,32 @@ def test_cp_step_conditional_shuffle_matches_unsharded():
                                        err_msg=k)
 
 
+def test_cp_fsdp_matches_replicated():
+    """cp>1 composed with ZeRO-1 optimizer sharding (_zero1_update): the
+    sharded-Adam step must be bit-equivalent to the replicated one — each
+    device runs the identical elementwise update on its slice and the
+    masked-psum reassembly adds exact zeros."""
+    cfg = _cfg(dp=2, cp=2)
+    cfg_f = dataclasses.replace(cfg, mesh=MeshCfg(dp=2, cp=2, fsdp=True))
+    cfg_f.validate()
+    mesh = _mesh(2, 2)
+    _, h_rep = _run_cp(cfg, mesh, steps=3)
+    state_f, h_f = _run_cp(cfg_f, mesh, steps=3)
+    for mr, mf in zip(h_rep, h_f):
+        for k in ("d_loss", "w_dist", "gp", "gp_grad_norm", "g_loss"):
+            np.testing.assert_allclose(mf[k], mr[k], rtol=1e-6, atol=1e-7,
+                                       err_msg=k)
+    # the optimizer state really is sharded: divisible leading axes over
+    # 'data', everything else (count scalars) replicated
+    from audiogan_tpu.parallel.mesh import fsdp_shardable
+    from jax.sharding import PartitionSpec as P
+    leaves = jax.tree.leaves(state_f.opt_d)
+    sharded = [x for x in leaves if fsdp_shardable(x, 2)]
+    assert sharded, "expected at least one sharded optimizer leaf"
+    for x in sharded:
+        assert x.sharding.spec[0] == "data", x.sharding
+
+
 def test_cp_step_with_dp_and_shuffle_runs():
     cfg = _cfg(dp=2, cp=4, shuffle=1)
     mesh = _mesh(2, 4)

@@ -125,3 +125,24 @@ def test_tp_step_stft_loss_matches_unsharded():
         for k in ("d_loss", "g_loss", "stft_loss"):
             np.testing.assert_allclose(mt[k], mr[k], rtol=5e-4, atol=1e-5,
                                        err_msg=k)
+
+
+def test_tp_fsdp_matches_replicated():
+    """tp composed with ZeRO-1 optimizer sharding (mesh.zero1_update):
+    bit-equivalent metrics, and the Adam state really lands sharded."""
+    from audiogan_tpu.parallel.mesh import fsdp_shardable
+
+    cfg = _cfg(dp=2, tp=2)
+    cfg_f = dataclasses.replace(cfg, mesh=MeshCfg(dp=2, tp=2, fsdp=True))
+    cfg_f.validate()
+    _, h_rep = _run_tp(cfg, steps=3)
+    state_f, h_f = _run_tp(cfg_f, steps=3)
+    for mr, mf in zip(h_rep, h_f):
+        for k in ("d_loss", "w_dist", "gp", "gp_grad_norm", "g_loss"):
+            np.testing.assert_allclose(mf[k], mr[k], rtol=1e-6, atol=1e-7,
+                                       err_msg=k)
+    sharded = [x for x in jax.tree.leaves(state_f.opt_d)
+               if fsdp_shardable(x, 2)]
+    assert sharded, "expected at least one sharded optimizer leaf"
+    for x in sharded:
+        assert x.sharding.spec[0] == "data", x.sharding

@@ -119,6 +119,28 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--seed", type=int, default=0)
     e.add_argument("--step", type=int, default=None)
 
+    x = sub.add_parser("export",
+                       help="bake a checkpoint into a standalone AOT "
+                            "sampler artifact (StableHLO)")
+    x.add_argument("--workdir", required=True)
+    x.add_argument("--out_dir", default=None,
+                   help="artifact dir (default <workdir>/export)")
+    x.add_argument("--num", type=int, default=8,
+                   help="serving batch baked into the artifact")
+    x.add_argument("--step", type=int, default=None,
+                   help="checkpoint step (default latest)")
+
+    v = sub.add_parser("serve",
+                       help="HTTP inference server over an artifact")
+    v.add_argument("--artifact", default=None,
+                   help="exported artifact dir (audiogan export)")
+    v.add_argument("--workdir", default=None,
+                   help="train workdir: export in-memory then serve")
+    v.add_argument("--num", type=int, default=8,
+                   help="serving batch when exporting from --workdir")
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8765)
+
     bn = sub.add_parser("bench", help="run the headline benchmark")
     bn.add_argument("--preset", default="wgan_gp_b64")
     bn.add_argument("--steps", type=int, default=10)
@@ -178,6 +200,51 @@ def main(argv: list[str] | None = None) -> int:
                        seed=args.seed)
         out["step"] = int(state.step)
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "export":
+        from audiogan_tpu.serve import export_sampler
+        from audiogan_tpu.train.state import create_train_state
+        from audiogan_tpu.utils import checkpoint as ckpt_lib
+        workdir = Path(args.workdir)
+        cfg = Config.from_json((workdir / "config.json").read_text())
+        state = create_train_state(cfg)
+        mngr = ckpt_lib.make_manager(workdir, keep=cfg.train.keep_ckpts)
+        state = ckpt_lib.restore(mngr, state, step=args.step)
+        out = export_sampler(cfg, state.params_g, args.num,
+                             args.out_dir or workdir / "export")
+        print(out)
+        return 0
+
+    if args.cmd == "serve":
+        from audiogan_tpu.serve import load_sampler, make_server
+        if bool(args.artifact) == bool(args.workdir):
+            raise SystemExit("serve needs exactly one of --artifact "
+                             "or --workdir")
+        if args.artifact:
+            sampler = load_sampler(args.artifact)
+        else:
+            import tempfile
+
+            from audiogan_tpu.serve import export_sampler
+            from audiogan_tpu.train.state import create_train_state
+            from audiogan_tpu.utils import checkpoint as ckpt_lib
+            workdir = Path(args.workdir)
+            cfg = Config.from_json((workdir / "config.json").read_text())
+            state = create_train_state(cfg)
+            mngr = ckpt_lib.make_manager(workdir, keep=cfg.train.keep_ckpts)
+            state = ckpt_lib.restore(mngr, state)
+            tmp = tempfile.mkdtemp(prefix="audiogan_export_")
+            sampler = load_sampler(
+                export_sampler(cfg, state.params_g, args.num, tmp))
+        srv = make_server(sampler, host=args.host, port=args.port)
+        host, port = srv.server_address[:2]
+        print(f"[serve] {sampler.meta.get('model')} on http://{host}:{port} "
+              f"(batch {sampler.num}, {sampler.sample_rate} Hz)", flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
         return 0
 
     if args.cmd == "bench":

@@ -78,8 +78,8 @@ def read_wav(path: str | Path, mono: bool = True) -> tuple[int, np.ndarray]:
     return rate, x
 
 
-def write_wav(path: str | Path, rate: int, x: np.ndarray) -> None:
-    """Write float [-1,1] (or int16) samples as 16-bit PCM mono/multi wav."""
+def wav_bytes(rate: int, x: np.ndarray) -> bytes:
+    """Encode float [-1,1] (or int16) samples as 16-bit PCM wav bytes."""
     x = np.asarray(x)
     if x.dtype != np.int16:
         x = np.clip(x, -1.0, 1.0)
@@ -91,4 +91,9 @@ def write_wav(path: str | Path, rate: int, x: np.ndarray) -> None:
     hdr += b"fmt " + struct.pack("<IHHIIHH", 16, _PCM, n_ch, rate,
                                  byte_rate, n_ch * 2, 16)
     hdr += b"data" + struct.pack("<I", len(raw))
-    Path(path).write_bytes(hdr + raw)
+    return hdr + raw
+
+
+def write_wav(path: str | Path, rate: int, x: np.ndarray) -> None:
+    """Write float [-1,1] (or int16) samples as 16-bit PCM mono/multi wav."""
+    Path(path).write_bytes(wav_bytes(rate, x))

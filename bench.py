@@ -83,10 +83,16 @@ def default_sample_num(cfg) -> int:
     with batch until HBM, not MXU, is the limit — measured flagship
     audio-sec/sec on the v5e chip (scripts/verify_session.py sampler_ab,
     2026-08-17): num=64 7-11k, 256 23k, 512 36k, 1024 44.6k, 2048 51k,
-    4096 55.5k (stable ±0.2%). Default to ~67M samples in flight (= 4096
-    one-second 16 kHz clips; 380 four-second 44.1 kHz music clips), the
-    largest tier whose activations fit every preset's HBM."""
-    return max(64, (4096 * 16384) // cfg.data.clip_len)
+    4096 55.5k (stable ±0.2%). Budget by activation BYTES, not clips:
+    the dominant G activation scales with clip_len * model_dim, so hold
+    num * clip_len * model_dim at the measured flagship ceiling
+    (4096 * 16384 * dim 64 ≈ 4.3G sample-channels; the 8192 flagship tier
+    OOM'd). Narrow presets (tiny/resample, dim 16) thus batch 4x the
+    flagship's 4096; music (dim 64, 176,400-sample clips) stays at 380.
+    Capped at 16384 clips so the host-side int16->wav staging stays sane."""
+    budget = 4096 * 16384 * 64
+    return max(64, min(16384, budget // (cfg.data.clip_len
+                                         * cfg.model.model_dim)))
 
 
 def bench_sample(cfg, n_warmup=2, n_iters=10, num=None):

@@ -178,9 +178,66 @@ def flow_cp_pallas():
     print("cp=1 shard_map pallas == xla on HW", flush=True)
 
 
+def flow_serve():
+    """AOT export on the real chip + artifact generate + HTTP roundtrip
+    (serve/export.py, serve/server.py; needs flow 2's checkpoint)."""
+    banner("flow 7: export artifact + HTTP serve")
+    import json as json_mod
+    import threading
+    import urllib.request
+
+    import numpy as np
+
+    from audiogan_tpu.cli import main
+    from audiogan_tpu.serve import load_sampler, make_server
+
+    rc = main(["export", "--workdir", str(WORK / "run"), "--num", "4",
+               "--out_dir", str(WORK / "artifact")])
+    assert rc == 0
+    s = load_sampler(WORK / "artifact")
+    a = s.generate(seed=11)
+    b = s.generate(seed=11)
+    np.testing.assert_array_equal(a, b)
+    assert np.isfinite(a).all() and a.shape[0] == 4
+
+    srv = make_server(s, port=0)
+    host, port = srv.server_address[:2]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://{host}:{port}/generate",
+            data=json_mod.dumps({"seed": 1, "num": 2}).encode())
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json_mod.loads(r.read())
+        assert out["num"] == 2 and len(out["wavs"]) == 2
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    print("export + serve OK", flush=True)
+
+
+def flow_widebatch():
+    """Width-aware default_sample_num (bench.py): the narrow tiny preset
+    now defaults to 16384 clips in flight — same activation bytes as the
+    flagship's 4096 at dim 64. A/B old vs new default."""
+    banner("flow 8: width-aware sampler batch (tiny preset)")
+    bench = _load_bench()
+    from audiogan_tpu.cli import apply_overrides
+    from audiogan_tpu.config import get_preset
+    cfg = apply_overrides(get_preset("tiny_sc09"), ["train.dtype=bfloat16"])
+    assert bench.default_sample_num(cfg) == 16384, \
+        bench.default_sample_num(cfg)
+    res = {}
+    for num in (4096, 16384, 4096, 16384):  # interleaved
+        res.setdefault(num, []).append(
+            round(bench.bench_sample(cfg, n_iters=4, num=num), 1))
+    print(json.dumps({"tiny_audio_sec_per_sec": res}), flush=True)
+
+
 FLOWS = {"ingest": flow_ingest, "train": flow_train, "sample": flow_sample,
          "bench": flow_bench, "sampler_ab": sampler_batch_ab,
-         "cp_pallas": flow_cp_pallas}
+         "cp_pallas": flow_cp_pallas, "serve": flow_serve,
+         "widebatch": flow_widebatch}
 
 if __name__ == "__main__":
     t0 = time.time()

@@ -36,6 +36,13 @@ class DataCfg:
     num_classes: int = 0            # 0 = unconditional; SC09 = 10
     resample_taps_per_phase: int = 10   # windowed-sinc halfwidth per phase (C2)
     resample_beta: float = 5.0      # Kaiser beta for the anti-alias filter
+    device_corpus: bool = False     # resident-corpus mode: ship the packed
+                                    # int16 corpus to HBM once; per step the
+                                    # host sends only the (seed, step)-pure
+                                    # sample INDICES (~KBs) and the batch
+                                    # gather runs in-graph — removes the
+                                    # per-step host->device bulk transfer
+                                    # (train/step.py build_device_corpus_step)
 
     @property
     def resampled_len(self) -> int:
@@ -158,6 +165,11 @@ class Config:
                 raise ValueError(f"train.{f}={v!r} not in xla|pallas|auto")
         if d.clip_len % self.mesh.cp != 0:
             raise ValueError("clip_len must be divisible by mesh.cp")
+        if d.device_corpus and (self.mesh.cp > 1 or self.mesh.tp > 1):
+            raise ValueError(
+                "data.device_corpus currently supports the data-parallel "
+                "step only (cp=tp=1); the cp/tp shard_map steps still take "
+                "raw clip batches")
         if self.mesh.tp > 1:
             if self.mesh.cp > 1:
                 raise ValueError("tp>1 with cp>1 is not supported")
@@ -246,7 +258,7 @@ def tiny_sc09() -> Config:
     """[B:7] Tiny unconditional WaveGAN on SC09-shaped clips, batch 8, CPU-ok."""
     return Config(
         name="tiny_sc09",
-        data=DataCfg(num_classes=0),
+        data=DataCfg(num_classes=0, device_corpus=True),
         model=ModelCfg(generator="wavegan", model_dim=16, max_channels=256),
         loss=LossCfg(n_critic=2),
         train=TrainCfg(batch_size=8, total_steps=2000, log_every=10),
@@ -266,7 +278,7 @@ def wgan_gp_b64() -> Config:
     """
     return Config(
         name="wgan_gp_b64",
-        data=DataCfg(num_classes=0),
+        data=DataCfg(num_classes=0, device_corpus=True),
         model=ModelCfg(generator="wavegan", model_dim=64),
         loss=LossCfg(n_critic=5),
         train=TrainCfg(batch_size=64, kernels="auto"),
@@ -277,7 +289,7 @@ def cond_gru_sc09() -> Config:
     """[B:9] Class-conditional GRU (SampleRNN-style frame RNN) generator."""
     return Config(
         name="cond_gru_sc09",
-        data=DataCfg(num_classes=10),
+        data=DataCfg(num_classes=10, device_corpus=True),
         model=ModelCfg(generator="gru", model_dim=64,
                        gru_frame_size=64, gru_hidden=512),
         loss=LossCfg(n_critic=5),
@@ -290,7 +302,7 @@ def dual_stft() -> Config:
     """[B:10] Dual discriminator (conv + STFT critic) + multi-res STFT loss."""
     return Config(
         name="dual_stft",
-        data=DataCfg(num_classes=0),
+        data=DataCfg(num_classes=0, device_corpus=True),
         model=ModelCfg(generator="wavegan", model_dim=64, use_stft_critic=True),
         loss=LossCfg(n_critic=5, stft_loss_weight=1.0),
         # auto: wave G/D geometry identical to the flagship (the measured
@@ -309,7 +321,8 @@ def resample_22k() -> Config:
     return Config(
         name="resample_22k",
         data=DataCfg(sample_rate=16000, source_rate=22050,
-                     clip_len=16384, store_len=24000, num_classes=0),
+                     clip_len=16384, store_len=24000, num_classes=0,
+                     device_corpus=True),
         model=ModelCfg(generator="wavegan", model_dim=16, max_channels=256),
         loss=LossCfg(n_critic=2),
         train=TrainCfg(batch_size=8, total_steps=2000, log_every=10),

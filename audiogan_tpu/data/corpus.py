@@ -98,7 +98,8 @@ class HostBatcher:
     """
 
     def __init__(self, corpus: Corpus, batch_size: int, n_views: int,
-                 seed: int = 0, prefetch: int = 2):
+                 seed: int = 0, prefetch: int = 2,
+                 indices_only: bool = False):
         self.corpus = corpus
         self.batch_size = batch_size
         self.n_views = n_views
@@ -106,19 +107,30 @@ class HostBatcher:
         self._q: queue_mod.Queue | None = None
         self._prefetch = prefetch
         self._thread: threading.Thread | None = None
+        # indices_only: emit (idx int32, labels) instead of gathered clips —
+        # the device-resident-corpus mode (data.device_corpus) gathers
+        # in-graph from the SAME index stream, so the two modes train
+        # bit-identically (tests/train/test_device_corpus.py)
+        self.indices_only = indices_only
+
+    def _indices(self, step: int) -> np.ndarray:
+        rng = np.random.default_rng((self.seed, step))
+        return rng.integers(0, len(self.corpus),
+                            size=(self.n_views, self.batch_size))
 
     def _sample(self, step: int) -> tuple[np.ndarray, np.ndarray]:
         from audiogan_tpu.data import native
 
-        rng = np.random.default_rng((self.seed, step))
-        idx = rng.integers(0, len(self.corpus),
-                           size=(self.n_views, self.batch_size))
+        idx = self._indices(step)
+        labels = np.ascontiguousarray(self.corpus.labels[idx])
+        if self.indices_only:
+            return idx.astype(np.int32), labels
         # native C++ gather (csrc/batcher.cpp) when built — byte-identical
         # to the numpy fancy-index fallback (tests/data/test_native.py)
         clips = native.gather_rows(self.corpus.clips, idx)
         if clips is None:
             clips = np.ascontiguousarray(self.corpus.clips[idx])
-        return clips, np.ascontiguousarray(self.corpus.labels[idx])
+        return clips, labels
 
     def get(self, step: int) -> tuple[np.ndarray, np.ndarray]:
         return self._sample(step)

@@ -80,8 +80,18 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
     # ('dcn','data','cp') hybrid, DP-only over DCN (SURVEY section 2.4)
     mesh = make_train_mesh(cfg)
     n_views = num_views(cfg)
+    # device-resident corpus (data.device_corpus): clips live in HBM, the
+    # host ships only sample indices per step (build_device_corpus_step)
+    dev_corpus = cfg.data.device_corpus
+    if dev_corpus:
+        gb = corpus.clips.nbytes / 2**30
+        if gb > 8.0:
+            raise ValueError(
+                f"device_corpus: packed corpus is {gb:.1f} GiB — too large "
+                f"to hold replicated in HBM; use the host batcher "
+                f"(data.device_corpus=false)")
     batcher = HostBatcher(corpus, cfg.train.batch_size, n_views,
-                          seed=cfg.train.seed)
+                          seed=cfg.train.seed, indices_only=dev_corpus)
 
     state = create_train_state(cfg)
     n_g, n_d = param_count(state.params_g), param_count(state.params_d)
@@ -107,20 +117,38 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
         # pairing, train/tp_step.py) composed with DP over 'data'
         from audiogan_tpu.train.tp_step import build_tp_train_step
         jit_step = build_tp_train_step(cfg, mesh)(state)
+    elif dev_corpus:
+        from audiogan_tpu.train.step import build_device_corpus_step
+        from audiogan_tpu.parallel.mesh import replicated_sharding
+        # put_global_batch so the resident corpus also composes with the
+        # multi-host DCN tier (every process holds the same packed corpus)
+        corpus_dev = put_global_batch(np.ascontiguousarray(corpus.clips),
+                                      replicated_sharding(mesh))
+        raw_step = build_device_corpus_step(cfg, mesh)
+        dc_step = jax.jit(raw_step, donate_argnums=(0,))
+
+        def jit_step(state, idx, labels):
+            return dc_step(state, corpus_dev, idx, labels)
     else:
         step_fn = build_train_step(cfg)
         # Sharding comes in through the operands (device_put below): state
         # replicated, batch sharded over 'data' — XLA's SPMD partitioner
         # then emits the grad all-reduce over ICI ([B:5]). donate buffers.
         jit_step = jax.jit(step_fn, donate_argnums=(0,))
-    b_shard, l_shard = batch_sharding(mesh), label_sharding(mesh)
+    # in device-corpus mode the "batch" is the [n_views, B] index array —
+    # sharded over 'data' on B exactly like the labels
+    b_shard = label_sharding(mesh) if dev_corpus else batch_sharding(mesh)
+    l_shard = label_sharding(mesh)
 
     if cfg.train.dump_hlo:
         # auditable single-graph claim of [B:5]: the WHOLE training step
         # (ingest + n_critic scan + GP double-backprop + both optimizers)
         # is one optimized HLO module.
         c0, l0 = batcher.get(int(state.step))
-        hlo = jit_step.lower(state, c0, l0).compile().as_text()
+        if dev_corpus:
+            hlo = dc_step.lower(state, corpus_dev, c0, l0).compile().as_text()
+        else:
+            hlo = jit_step.lower(state, c0, l0).compile().as_text()
         (workdir / "step_optimized_hlo.txt").write_text(hlo)
         print(f"[hlo] dumped {len(hlo.splitlines())} lines", flush=True)
     state = jax.device_put(state, state_shardings(mesh, state, cfg.mesh.fsdp))

@@ -54,6 +54,43 @@ def _replica_mean(grads, axis_name: str):
     return jax.tree.map(lambda g: g / n, grads)
 
 
+def build_device_corpus_step(cfg: Config, mesh=None
+                             ) -> Callable[..., tuple[TrainState, dict]]:
+    """Resident-corpus variant of the train step (data.device_corpus).
+
+    step(state, corpus_clips [N, store_len] int16 (HBM-resident,
+    replicated), idx [n_views, B] int32, labels [n_views, B] int32)
+    -> (state, metrics)
+
+    The host ships the whole packed corpus to HBM ONCE and then only the
+    (seed, step)-pure sample indices per step (a few KB), so the per-step
+    host->device bulk transfer — the sustained-throughput bottleneck on
+    slow-interconnect hosts — disappears. The in-graph gather
+    (jnp.take over the clip axis) reproduces the host batcher's stream
+    bit-exactly: HostBatcher(indices_only=True) emits the SAME indices the
+    gathering batcher consumes (pinned by tests/train/test_device_corpus.py).
+
+    DP sharding: idx/labels arrive 'data'-sharded on B; the gather output
+    is constrained to the same sharding so each replica gathers only its
+    slice from the replicated corpus.
+    """
+    inner = build_train_step(cfg)
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from audiogan_tpu.parallel.mesh import data_axes
+        shard = NamedSharding(mesh, P(None, data_axes(mesh), None))
+
+    def step_fn(state: TrainState, corpus_clips, idx, labels):
+        raw = jnp.take(corpus_clips, idx, axis=0)   # [n_views, B, store_len]
+        if shard is not None:
+            raw = jax.lax.with_sharding_constraint(raw, shard)
+        return inner(state, raw, labels)
+
+    return step_fn
+
+
 def build_train_step(cfg: Config, axis_name: str | None = None
                      ) -> Callable[..., tuple[TrainState, dict]]:
     """Build the pure (state, raw, labels) -> (state, metrics) step.

@@ -234,10 +234,46 @@ def flow_widebatch():
     print(json.dumps({"tiny_audio_sec_per_sec": res}), flush=True)
 
 
+def flow_devcorpus():
+    """Sustained LOOP throughput, host-batcher vs device-resident corpus
+    (data.device_corpus): the step is compute-bound but the real loop
+    ships ~21 MB/step (flagship) over the host link; resident mode sends
+    only indices. Interleaved rounds, median of per-window steps/s with
+    the first (compile) window dropped."""
+    banner("flow 9: device-resident corpus loop A/B (flagship)")
+    import json as json_mod
+    import shutil
+    import statistics
+
+    from audiogan_tpu.cli import main
+
+    def run(dev, wd, steps=60):
+        shutil.rmtree(wd, ignore_errors=True)
+        rc = main(["train", "--preset", "wgan_gp_b64", "--data_dir", "",
+                   "--workdir", str(wd), "--total_steps", str(steps),
+                   "--set", "train.dtype=bfloat16",
+                   "--set", f"data.device_corpus={str(dev).lower()}",
+                   "--set", "train.log_every=10",
+                   "--set", "train.ckpt_every=0",
+                   "--set", "train.sample_every=0"])
+        assert rc == 0
+        rows = [json_mod.loads(line) for line in
+                (wd / "metrics.jsonl").read_text().splitlines()]
+        return [r["steps_per_sec"] for r in rows[1:]]  # drop compile window
+
+    res = {"host": [], "device": []}
+    for rnd in range(2):
+        res["host"] += run(False, WORK / f"dc_host{rnd}")
+        res["device"] += run(True, WORK / f"dc_dev{rnd}")
+    out = {k: {"median": round(statistics.median(v), 3),
+               "windows": [round(x, 2) for x in v]} for k, v in res.items()}
+    print(json.dumps({"loop_steps_per_sec": out}), flush=True)
+
+
 FLOWS = {"ingest": flow_ingest, "train": flow_train, "sample": flow_sample,
          "bench": flow_bench, "sampler_ab": sampler_batch_ab,
          "cp_pallas": flow_cp_pallas, "serve": flow_serve,
-         "widebatch": flow_widebatch}
+         "widebatch": flow_widebatch, "devcorpus": flow_devcorpus}
 
 if __name__ == "__main__":
     t0 = time.time()

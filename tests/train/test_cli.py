@@ -57,6 +57,14 @@ def test_train_and_sample_end_to_end(tmp_path):
     assert rc == 0
     assert wavs[0].read_bytes() == first
 
+    # export: checkpoint -> standalone AOT artifact -> deterministic calls
+    rc = main(["export", "--workdir", str(workdir), "--num", "2"])
+    assert rc == 0
+    from audiogan_tpu.serve import load_sampler
+    s = load_sampler(workdir / "export")
+    assert s.num == 2
+    np.testing.assert_array_equal(s.generate(3), s.generate(3))
+
 
 def test_build_corpus_cli(tmp_path, capsys):
     from audiogan_tpu.data.synthetic import make_synthetic_sc09

@@ -1,0 +1,132 @@
+"""Device-resident corpus mode (data.device_corpus): the in-graph gather
+trains bit-identically to the host batcher — same (seed, step)-pure index
+stream, same int16 rows, same step math — with only KB-scale host->device
+traffic per step."""
+
+import dataclasses
+import json
+
+import jax
+import numpy as np
+
+from audiogan_tpu.data import Corpus, HostBatcher, build_corpus
+from audiogan_tpu.data.synthetic import make_synthetic_sc09
+from audiogan_tpu.train.state import create_train_state
+from audiogan_tpu.train.step import (build_device_corpus_step,
+                                     build_train_step, num_views)
+
+from helpers_train import tiny_config
+
+
+def _corpus(tmp_path, cfg):
+    wavs = make_synthetic_sc09(tmp_path / "w", n_per_class=3, num_classes=4,
+                               clip_len=cfg.data.store_len,
+                               rate=cfg.data.source_rate)
+    return Corpus(build_corpus(wavs, tmp_path / "c",
+                               store_len=cfg.data.store_len))
+
+
+def test_step_matches_host_batcher(tmp_path):
+    cfg = tiny_config()
+    corpus = _corpus(tmp_path, cfg)
+    n = num_views(cfg)
+
+    host = HostBatcher(corpus, cfg.train.batch_size, n, seed=5)
+    dev = HostBatcher(corpus, cfg.train.batch_size, n, seed=5,
+                      indices_only=True)
+    corpus_dev = jax.device_put(np.ascontiguousarray(corpus.clips))
+
+    s_host = create_train_state(cfg)
+    s_dev = create_train_state(cfg)
+    step_h = jax.jit(build_train_step(cfg))
+    step_d = jax.jit(build_device_corpus_step(cfg))
+
+    for s in range(3):
+        clips, labels = host.get(s)
+        idx, labels_d = dev.get(s)
+        np.testing.assert_array_equal(labels, labels_d)
+        np.testing.assert_array_equal(np.asarray(corpus.clips)[idx], clips)
+        s_host, m_h = step_h(s_host, clips, labels)
+        s_dev, m_d = step_d(s_dev, corpus_dev, idx, labels_d)
+        for k in m_h:
+            np.testing.assert_allclose(
+                np.asarray(m_d[k]), np.asarray(m_h[k]), rtol=1e-6,
+                atol=1e-7, err_msg=f"step {s}: {k}")
+
+
+def test_loop_end_to_end_device_corpus(tmp_path):
+    """The full train() loop in device-corpus mode vs host mode: identical
+    metrics.jsonl streams (also exercises the loop wiring + HLO dump)."""
+    from audiogan_tpu.train.loop import train
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(cfg.train, total_steps=2, log_every=1,
+                                  ckpt_every=0, sample_every=0,
+                                  dump_hlo=True),
+    )
+
+    def run(dev_corpus, wd):
+        c = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data,
+                                          device_corpus=dev_corpus))
+        train(c, tmp_path / wd, resume=False)
+        return [json.loads(line) for line in
+                (tmp_path / wd / "metrics.jsonl").read_text().splitlines()]
+
+    m_host = run(False, "host")
+    m_dev = run(True, "dev")
+    assert len(m_host) == len(m_dev) >= 2
+    for a, b in zip(m_host, m_dev):
+        for k in ("d_loss", "g_loss", "gp", "w_dist"):
+            np.testing.assert_allclose(b[k], a[k], rtol=1e-6, atol=1e-7,
+                                       err_msg=k)
+    assert (tmp_path / "dev" / "step_optimized_hlo.txt").exists()
+
+
+def test_loop_device_corpus_dp2(tmp_path):
+    """dp=2: idx/labels arrive 'data'-sharded and the in-graph gather is
+    constrained to the same sharding — must match the host-batcher dp=2
+    run exactly."""
+    from audiogan_tpu.config import MeshCfg
+    from audiogan_tpu.train.loop import train
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        mesh=MeshCfg(dp=2),
+        train=dataclasses.replace(cfg.train, total_steps=2, log_every=1,
+                                  ckpt_every=0, sample_every=0,
+                                  batch_size=4),
+    )
+
+    def run(dev_corpus, wd):
+        c = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data,
+                                          device_corpus=dev_corpus))
+        train(c, tmp_path / wd, resume=False)
+        return [json.loads(line) for line in
+                (tmp_path / wd / "metrics.jsonl").read_text().splitlines()]
+
+    m_host = run(False, "host2")
+    m_dev = run(True, "dev2")
+    for a, b in zip(m_host, m_dev):
+        for k in ("d_loss", "g_loss", "gp", "w_dist"):
+            np.testing.assert_allclose(b[k], a[k], rtol=1e-6, atol=1e-7,
+                                       err_msg=k)
+
+
+def test_device_corpus_rejects_cp(tmp_path):
+    import pytest
+
+    from audiogan_tpu.config import MeshCfg
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, device_corpus=True),
+        mesh=MeshCfg(dp=1, cp=4),
+        train=dataclasses.replace(cfg.train, batch_size=2),
+    )
+    with pytest.raises(ValueError, match="device_corpus"):
+        cfg.validate()

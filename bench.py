@@ -64,6 +64,15 @@ def bench_train(cfg, n_warmup=2, n_steps=10):
         return clips, labels
 
     clips, labels = batch(0)
+    # stage ONCE as committed device arrays: feeding numpy re-transfers
+    # ~21 MB per call over the tunneled host link and was the dominant
+    # cost (measured 2026-08-18: numpy-fed 3.3 steps/s vs staged 6.22
+    # — and the 4.1-5.1 'throttle drift' of earlier rounds was largely
+    # this transfer variance). The shipped presets default to
+    # data.device_corpus, whose per-step host traffic is a few KB of
+    # indices, so the staged step is what production actually runs
+    # (loop-level witness: verify flow 9, 6.24 steps/s sustained).
+    clips, labels = jax.device_put(clips), jax.device_put(labels)
     for _ in range(n_warmup):
         state, metrics = step(state, clips, labels)
     float(metrics["d_loss"])  # host fetch: the only reliable sync on axon
@@ -214,6 +223,9 @@ def bench_compare(preset: str, dtype: str, rounds: int = 3, steps: int = 6):
         ).clip(-32768, 32767).astype(np.int16)
         labels = rng.integers(0, max(cfg.data.num_classes, 1),
                               size=(n, cfg.train.batch_size)).astype(np.int32)
+        # staged device arrays — see bench_train: numpy feeding re-pays
+        # the ~21 MB host transfer per call and buries the tier deltas
+        clips, labels = jax.device_put(clips), jax.device_put(labels)
         state, metrics = step(state, clips, labels)     # compile + warm
         state, metrics = step(state, clips, labels)
         float(metrics["d_loss"])

@@ -349,6 +349,9 @@ def music_44k_dp16() -> Config:
         name="music_44k_dp16",
         data=DataCfg(sample_rate=44100, source_rate=44100,
                      clip_len=176400, store_len=220500,  # store 5 s, crop 4 s
+                     device_corpus=True,  # 113 MB/step of host transfer
+                     # otherwise (falls back to the host batcher with a
+                     # warning when the packed corpus exceeds 8 GiB)
                      num_classes=0),
         model=ModelCfg(generator="wavegan", model_dim=64,
                        strides=(7, 7, 5, 5, 3), kernel_size=25),

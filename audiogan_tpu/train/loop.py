@@ -30,6 +30,11 @@ from audiogan_tpu.utils import checkpoint as ckpt_lib
 from audiogan_tpu.utils.metrics import MetricsWriter
 
 
+# Largest packed corpus held replicated in HBM (device_corpus); larger
+# corpora fall back to the host batcher with a warning.
+DEVICE_CORPUS_MAX_GB = 8.0
+
+
 def resolve_corpus(cfg: Config, workdir: Path) -> Corpus:
     """data_dir: '' -> seeded synthetic fixture; wav tree -> pack once;
     packed dir (has meta.json) -> open."""
@@ -85,11 +90,13 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
     dev_corpus = cfg.data.device_corpus
     if dev_corpus:
         gb = corpus.clips.nbytes / 2**30
-        if gb > 8.0:
-            raise ValueError(
-                f"device_corpus: packed corpus is {gb:.1f} GiB — too large "
-                f"to hold replicated in HBM; use the host batcher "
-                f"(data.device_corpus=false)")
+        if gb > DEVICE_CORPUS_MAX_GB:
+            # too large to hold replicated in HBM next to the training
+            # state — fall back to the host batcher rather than failing
+            # (the presets default the flag on; corpus size is data-dependent)
+            print(f"[data] corpus is {gb:.1f} GiB > {DEVICE_CORPUS_MAX_GB} GiB: falling back to "
+                  f"the host batcher (device_corpus off)", flush=True)
+            dev_corpus = False
     batcher = HostBatcher(corpus, cfg.train.batch_size, n_views,
                           seed=cfg.train.seed, indices_only=dev_corpus)
 

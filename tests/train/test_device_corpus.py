@@ -117,6 +117,23 @@ def test_loop_device_corpus_dp2(tmp_path):
                                        err_msg=k)
 
 
+def test_oversized_corpus_falls_back_to_host(tmp_path, monkeypatch, capsys):
+    """Corpora past the HBM budget fall back to the host batcher with a
+    warning instead of failing (presets default the flag on)."""
+    from audiogan_tpu.train import loop as loop_mod
+
+    monkeypatch.setattr(loop_mod, "DEVICE_CORPUS_MAX_GB", 1e-9)
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, device_corpus=True),
+        train=dataclasses.replace(cfg.train, total_steps=1, log_every=1,
+                                  ckpt_every=0, sample_every=0),
+    )
+    loop_mod.train(cfg, tmp_path / "fb", resume=False)
+    assert "falling back to" in capsys.readouterr().out
+
+
 def test_device_corpus_rejects_cp(tmp_path):
     import pytest
 

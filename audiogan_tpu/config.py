@@ -165,11 +165,6 @@ class Config:
                 raise ValueError(f"train.{f}={v!r} not in xla|pallas|auto")
         if d.clip_len % self.mesh.cp != 0:
             raise ValueError("clip_len must be divisible by mesh.cp")
-        if d.device_corpus and (self.mesh.cp > 1 or self.mesh.tp > 1):
-            raise ValueError(
-                "data.device_corpus currently supports the data-parallel "
-                "step only (cp=tp=1); the cp/tp shard_map steps still take "
-                "raw clip batches")
         if self.mesh.tp > 1:
             if self.mesh.cp > 1:
                 raise ValueError("tp>1 with cp>1 is not supported")

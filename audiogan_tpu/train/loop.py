@@ -118,30 +118,35 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
         # fully context-parallel step: clips' time axis sharded over 'cp'
         # (shard_map with explicit halo/psum collectives, train/cp_step.py)
         from audiogan_tpu.train.cp_step import build_cp_train_step
-        jit_step = build_cp_train_step(cfg, mesh)(state)
+        base_step = build_cp_train_step(cfg, mesh)(
+            state, device_corpus=dev_corpus)
     elif cfg.mesh.tp > 1:
         # channel-parallel critic over 'tp' (Megatron-style col/row conv
         # pairing, train/tp_step.py) composed with DP over 'data'
         from audiogan_tpu.train.tp_step import build_tp_train_step
-        jit_step = build_tp_train_step(cfg, mesh)(state)
+        base_step = build_tp_train_step(cfg, mesh)(
+            state, device_corpus=dev_corpus)
     elif dev_corpus:
         from audiogan_tpu.train.step import build_device_corpus_step
-        from audiogan_tpu.parallel.mesh import replicated_sharding
-        # put_global_batch so the resident corpus also composes with the
-        # multi-host DCN tier (every process holds the same packed corpus)
-        corpus_dev = put_global_batch(np.ascontiguousarray(corpus.clips),
-                                      replicated_sharding(mesh))
-        raw_step = build_device_corpus_step(cfg, mesh)
-        dc_step = jax.jit(raw_step, donate_argnums=(0,))
-
-        def jit_step(state, idx, labels):
-            return dc_step(state, corpus_dev, idx, labels)
+        base_step = jax.jit(build_device_corpus_step(cfg, mesh),
+                            donate_argnums=(0,))
     else:
         step_fn = build_train_step(cfg)
         # Sharding comes in through the operands (device_put below): state
         # replicated, batch sharded over 'data' — XLA's SPMD partitioner
         # then emits the grad all-reduce over ICI ([B:5]). donate buffers.
-        jit_step = jax.jit(step_fn, donate_argnums=(0,))
+        base_step = jax.jit(step_fn, donate_argnums=(0,))
+    if dev_corpus:
+        from audiogan_tpu.parallel.mesh import replicated_sharding
+        # put_global_batch so the resident corpus also composes with the
+        # multi-host DCN tier (every process holds the same packed corpus)
+        corpus_dev = put_global_batch(np.ascontiguousarray(corpus.clips),
+                                      replicated_sharding(mesh))
+
+        def jit_step(state, idx, labels):
+            return base_step(state, corpus_dev, idx, labels)
+    else:
+        jit_step = base_step
     # in device-corpus mode the "batch" is the [n_views, B] index array —
     # sharded over 'data' on B exactly like the labels
     b_shard = label_sharding(mesh) if dev_corpus else batch_sharding(mesh)
@@ -153,7 +158,8 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
         # is one optimized HLO module.
         c0, l0 = batcher.get(int(state.step))
         if dev_corpus:
-            hlo = dc_step.lower(state, corpus_dev, c0, l0).compile().as_text()
+            hlo = base_step.lower(state, corpus_dev, c0,
+                                  l0).compile().as_text()
         else:
             hlo = jit_step.lower(state, c0, l0).compile().as_text()
         (workdir / "step_optimized_hlo.txt").write_text(hlo)

@@ -54,9 +54,9 @@ def _replica_mean(grads, axis_name: str):
     return jax.tree.map(lambda g: g / n, grads)
 
 
-def build_device_corpus_step(cfg: Config, mesh=None
-                             ) -> Callable[..., tuple[TrainState, dict]]:
-    """Resident-corpus variant of the train step (data.device_corpus).
+def wrap_device_corpus(inner: Callable, mesh=None) -> Callable:
+    """Wrap a (state, raw, labels) step as a resident-corpus step
+    (data.device_corpus):
 
     step(state, corpus_clips [N, store_len] int16 (HBM-resident,
     replicated), idx [n_views, B] int32, labels [n_views, B] int32)
@@ -72,9 +72,11 @@ def build_device_corpus_step(cfg: Config, mesh=None
 
     DP sharding: idx/labels arrive 'data'-sharded on B; the gather output
     is constrained to the same sharding so each replica gathers only its
-    slice from the replicated corpus.
+    slice from the replicated corpus. The same wrapper serves the
+    shard_map'd cp/tp steps (gather outside shard_map, constrained to the
+    in_spec's batch sharding) — `inner` may be the plain step body or an
+    un-jitted shard_map.
     """
-    inner = build_train_step(cfg)
     shard = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -89,6 +91,13 @@ def build_device_corpus_step(cfg: Config, mesh=None
         return inner(state, raw, labels)
 
     return step_fn
+
+
+def build_device_corpus_step(cfg: Config, mesh=None
+                             ) -> Callable[..., tuple[TrainState, dict]]:
+    """Resident-corpus variant of the data-parallel train step
+    (see wrap_device_corpus)."""
+    return wrap_device_corpus(build_train_step(cfg), mesh)
 
 
 def build_train_step(cfg: Config, axis_name: str | None = None

@@ -193,7 +193,7 @@ def build_tp_train_step(cfg: Config, mesh) -> Callable:
                                   opt_d=opt_d_state)
         return new_state, metrics
 
-    def make(state):
+    def make(state, device_corpus: bool = False):
         specs = jax.tree.map(lambda _: P(), state)
         if fsdp:
             def opt_spec(x):
@@ -208,6 +208,11 @@ def build_tp_train_step(cfg: Config, mesh) -> Callable:
                       P(None, batch_axes)),
             out_specs=(specs, P()),
             check_vma=True)
+        if device_corpus:
+            # resident-corpus mode: gather the batch in-graph from the
+            # replicated HBM corpus before entering the shard_map
+            from audiogan_tpu.train.step import wrap_device_corpus
+            fn = wrap_device_corpus(fn, mesh)
         return jax.jit(fn, donate_argnums=(0,))
 
     return make

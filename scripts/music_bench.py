@@ -64,6 +64,9 @@ def main():
         ).clip(-32768, 32767).astype(np.int16)
         labels = rng.integers(0, 1, size=(n, cfg.train.batch_size)
                               ).astype(np.int32)
+        # stage ONCE on device (music re-pays ~113 MB/step otherwise —
+        # the bench.py input-transfer discovery, 2026-08-18)
+        clips, labels = jax.device_put(clips), jax.device_put(labels)
         t0 = time.perf_counter()
         state, metrics = step(state, clips, labels)
         float(metrics["d_loss"])

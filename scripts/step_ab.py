@@ -57,6 +57,10 @@ def main():
         ).clip(-32768, 32767).astype(np.int16)
         labels = rng.integers(0, max(cfg.data.num_classes, 1),
                               size=(n, cfg.train.batch_size)).astype(np.int32)
+        # stage ONCE on device: feeding numpy re-pays the host transfer
+        # every call and confounds the A/B (bench.py input-transfer
+        # discovery, 2026-08-18 — production runs device-resident)
+        clips, labels = jax.device_put(clips), jax.device_put(labels)
         t0 = time.perf_counter()
         state, metrics = step(state, clips, labels)
         state, metrics = step(state, clips, labels)

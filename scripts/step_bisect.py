@@ -52,6 +52,8 @@ def bench(g_tier, d_tier, steps=6):
                                       cfg.data.store_len)) * 8000
                  ).clip(-32768, 32767).astype(np.int16)
         labels = np.zeros((n, cfg.train.batch_size), np.int32)
+        # stage ONCE on device (bench.py input-transfer discovery)
+        clips, labels = jax.device_put(clips), jax.device_put(labels)
         for _ in range(2):
             state, m = step(state, clips, labels)
         float(m["d_loss"])

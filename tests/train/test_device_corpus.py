@@ -134,16 +134,60 @@ def test_oversized_corpus_falls_back_to_host(tmp_path, monkeypatch, capsys):
     assert "falling back to" in capsys.readouterr().out
 
 
-def test_device_corpus_rejects_cp(tmp_path):
-    import pytest
+def _loop_metrics_pair(tmp_path, cfg):
+    """Run the full train() loop with device_corpus off/on; return both
+    metrics.jsonl streams."""
+    from audiogan_tpu.train.loop import train
 
+    def run(dev_corpus, wd):
+        c = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data,
+                                          device_corpus=dev_corpus))
+        train(c, tmp_path / wd, resume=False)
+        return [json.loads(line) for line in
+                (tmp_path / wd / "metrics.jsonl").read_text().splitlines()]
+
+    return run(False, "host"), run(True, "dev")
+
+
+def test_loop_device_corpus_cp2(tmp_path):
+    """Resident corpus composed with the context-parallel step (dp=2,
+    cp=2): the in-graph gather feeds the shard_map'd cp step and must
+    match the host-batcher cp run exactly."""
     from audiogan_tpu.config import MeshCfg
+
     cfg = tiny_config()
     cfg = dataclasses.replace(
         cfg,
-        data=dataclasses.replace(cfg.data, device_corpus=True),
-        mesh=MeshCfg(dp=1, cp=4),
-        train=dataclasses.replace(cfg.train, batch_size=2),
-    )
-    with pytest.raises(ValueError, match="device_corpus"):
-        cfg.validate()
+        mesh=MeshCfg(dp=2, cp=2),
+        train=dataclasses.replace(cfg.train, total_steps=2, log_every=1,
+                                  ckpt_every=0, sample_every=0,
+                                  batch_size=4),
+    ).validate()
+    m_host, m_dev = _loop_metrics_pair(tmp_path, cfg)
+    assert len(m_host) == len(m_dev) >= 2
+    for a, b in zip(m_host, m_dev):
+        for k in ("d_loss", "g_loss", "gp", "w_dist"):
+            np.testing.assert_allclose(b[k], a[k], rtol=1e-6, atol=1e-7,
+                                       err_msg=k)
+
+
+def test_loop_device_corpus_tp2(tmp_path):
+    """Resident corpus composed with the tensor-parallel step (dp=2,
+    tp=2) — same equality bar as the cp case."""
+    from audiogan_tpu.config import MeshCfg
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        mesh=MeshCfg(dp=2, tp=2),
+        train=dataclasses.replace(cfg.train, total_steps=2, log_every=1,
+                                  ckpt_every=0, sample_every=0,
+                                  batch_size=4),
+    ).validate()
+    m_host, m_dev = _loop_metrics_pair(tmp_path, cfg)
+    assert len(m_host) == len(m_dev) >= 2
+    for a, b in zip(m_host, m_dev):
+        for k in ("d_loss", "g_loss", "gp", "w_dist"):
+            np.testing.assert_allclose(b[k], a[k], rtol=1e-6, atol=1e-7,
+                                       err_msg=k)

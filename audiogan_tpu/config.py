@@ -100,7 +100,14 @@ class TrainCfg:
     sample_every: int = 2000
     keep_ckpts: int = 3
     seed: int = 0
-    remat_discriminator: bool = True   # checkpoint D fwd inside the n_critic scan
+    # Checkpoint D's forward inside the n_critic scan. OFF by default:
+    # every preset fits HBM without it on one v5e, and the recompute costs
+    # 24-27% of the step (interleaved A/Bs 2026-08-18: flagship 8.47 vs
+    # 6.24 steps/s, cond_gru 8.53 vs 6.25, dual_stft 6.08 vs 4.64, music
+    # 1.41 vs 1.10 — remat also compiled 5-10x slower). Turn on for
+    # memory-constrained runs (bigger models / longer clips / large
+    # device-resident corpora sharing HBM with the step).
+    remat_discriminator: bool = False
     scan_unroll: int = 1            # unroll factor for the n_critic scan
                                     # (>1 lets XLA software-pipeline across
                                     # micro-steps at higher compile cost)

@@ -577,8 +577,16 @@ def _wgrad_call(x_stack, ct_stack, *, n_t, t_tile, q_taps, n_ci, n_co,
 
 
 def _wgrad_vmem_ok(q_taps, lanes_in, lanes_out, t_tile, itemsize) -> bool:
+    # The out block is revisited across the whole r dim, and Mosaic both
+    # pads its q_taps sublane dim to 8 and keeps a second copy while
+    # pipelining the next (ci, co) window: modelling it as a single
+    # unpadded buffer let a (q=7, 1024, 256) f32 accumulator through and
+    # the compile died with "scoped allocation 16.06M > 16.00M limit"
+    # (2026-08-18, transpose_jvp of the 512->1024 flagship D layer).
+    # Count it twice, q padded — geometries over budget route to the XLA
+    # einsum tier (which beats the kernel everywhere anyway, BASELINE.md).
     rows_tile = _round_up(t_tile + q_taps - 1, 16)
-    need = (q_taps * lanes_in * lanes_out * 4          # out block (=acc)
+    need = (2 * _round_up(q_taps, 8) * lanes_in * lanes_out * 4  # out (=acc)
             + 2 * rows_tile * lanes_in * itemsize      # x double buffer
             + 2 * t_tile * lanes_out * itemsize)       # ct pipeline pair
     return need <= 13 * 1024 * 1024

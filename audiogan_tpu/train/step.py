@@ -135,9 +135,10 @@ def build_train_step(cfg: Config, axis_name: str | None = None
             return d.apply(params_d, x, labels, **kw)
         return d.apply(params_d, x, **kw)
 
-    # Remat D's forward inside the scan body: the GP double-backprop would
-    # otherwise keep every critic activation live across the whole scan
-    # (SURVEY R5).
+    # Optional remat of D's forward (SURVEY R5 worried the GP
+    # double-backprop would keep every critic activation live across the
+    # scan; measured on HW the no-remat step fits HBM at every preset and
+    # runs 1.28-1.36x faster — see TrainCfg.remat_discriminator).
     d_apply = (jax.checkpoint(d_apply_raw)
                if cfg.train.remat_discriminator else d_apply_raw)
 

@@ -6,7 +6,7 @@ interleaved within rounds so the chip's throttle drift cancels.
     PYTHONPATH=/root/repo:$PYTHONPATH python scripts/music_bench.py \
         [--configs xla:1:1,auto:1:1,xla:4:1,auto:4:1] [--rounds 3] [--steps 3]
 
-Config spec: <kernels>:<gp_batch_chunks>:<remat(0|1)>.
+Config spec: <kernels>:<gp_batch_chunks>:<remat(0|1)>[:<scan_unroll>].
 """
 
 from __future__ import annotations
@@ -44,7 +44,8 @@ def main():
     enable_compilation_cache()
     runs = {}
     for spec in args.configs.split(","):
-        kern, chunks, remat = spec.split(":")
+        kern, chunks, remat, *rest = spec.split(":")
+        unroll = rest[0] if rest else "1"
         cfg = get_preset("music_44k_dp16")
         cfg = dataclasses.replace(cfg, mesh=MeshCfg(dp=1, cp=1))
         cfg = apply_overrides(cfg, [
@@ -54,6 +55,7 @@ def main():
             "train.kernels_d=",
             f"loss.gp_batch_chunks={chunks}",
             f"train.remat_discriminator={'true' if remat == '1' else 'false'}",
+            f"train.scan_unroll={unroll}",
         ])
         state = create_train_state(cfg)
         step = jax.jit(build_train_step(cfg), donate_argnums=(0,))

@@ -98,6 +98,25 @@ def test_gp_double_backprop_through_wgrad(rng):
                                atol=2e-3, rtol=2e-3)
 
 
+def test_wgrad_vmem_evicts_wide_accumulator(rng):
+    """The 512->1024 flagship D layer's dW accumulator (q=7, lanes 1024x256
+    f32) blew Mosaic's 16M scoped-vmem limit once padding + revisit
+    double-buffering are counted (2026-08-18 compile OOM); the budget model
+    must evict it to the XLA tier, and the lowered call must still be
+    correct through the fallback."""
+    from audiogan_tpu.kernels.conv import _conv1d_wgrad_pallas
+
+    b, t, cin, cout, k, s = 2, 256, 512, 1024, 25, 4
+    x = _rand(rng, b, t, cin)
+    t_out, lo, hi = _same_pads(t, k, s)
+    ct = _rand(rng, b, t_out, cout)
+    assert _conv1d_wgrad_pallas(x, ct, s, lo, k) is None
+    got = conv1d_wgrad_lowered(x, ct, s, lo, hi, k, "pallas")
+    want = conv1d_wgrad_lowered(x, ct, s, lo, hi, k, "xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=2e-4)
+
+
 def test_wgrad_vmap_defensive(rng):
     b, t, cin, cout, k, s = 2, 32, 32, 32, 9, 2
     xs = _rand(rng, 3, b, t, cin)

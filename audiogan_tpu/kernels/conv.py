@@ -64,6 +64,10 @@ _INTERPRET = False  # flipped by tests on CPU
 import os as _os
 _COLLAPSE_MAX_CONV = int(_os.environ.get("AUDIOGAN_COLLAPSE_CONV", "256"))
 _COLLAPSE_MAX_CONVT = int(_os.environ.get("AUDIOGAN_COLLAPSE_CONVT", "0"))
+# Row-tile cap. At the flagship shapes a 512-row tile holds < 1 us of MXU
+# work (7 dots of [512,256]@[256,128] ~ 0.7 us at the 172 TF/s roof), so
+# per-grid-step overhead dominates — the r3s5 roof hunt sweeps this.
+_T_TILE_CAP = int(_os.environ.get("AUDIOGAN_T_TILE_CAP", "512"))
 
 
 def _vma_sds(shape, dtype, *operands):
@@ -302,7 +306,7 @@ def _conv1d_pallas(x: jnp.ndarray, w: jnp.ndarray, s: int,
     if collapse:
         rows_b = t_out + q_taps - 1             # stacked stride per batch
         r_out = (b - 1) * rows_b + t_out        # last real output row + 1
-        t_tile = _fit_t_tile(min(_round_up(r_out, 16), 512), q_taps,
+        t_tile = _fit_t_tile(min(_round_up(r_out, 16), _T_TILE_CAP), q_taps,
                              s * cin_blk, cout_blk, x.dtype.itemsize)
         n_t = _cdiv(r_out, t_tile)
         rows_needed = _rows_alloc(n_t, t_tile, q_taps)
@@ -316,7 +320,7 @@ def _conv1d_pallas(x: jnp.ndarray, w: jnp.ndarray, s: int,
         x_rows = xr.reshape(1, n_ci, rows_needed, s * cin_blk)
         kb, kt = 1, n_t
     else:
-        t_tile = _fit_t_tile(min(_round_up(t_out, 16), 512), q_taps,
+        t_tile = _fit_t_tile(min(_round_up(t_out, 16), _T_TILE_CAP), q_taps,
                              s * cin_blk, cout_blk, x.dtype.itemsize)
         n_t = _cdiv(t_out, t_tile)
 
@@ -421,7 +425,7 @@ def _convt_pallas(x, w, s, pad_lo, out_len, bias=None, act="none",
     if collapse:
         rows_b = m_out + q_taps - 1
         r_out = (b - 1) * rows_b + m_out
-        t_tile = _fit_t_tile(min(_round_up(r_out, 16), 512), q_taps,
+        t_tile = _fit_t_tile(min(_round_up(r_out, 16), _T_TILE_CAP), q_taps,
                              cin_blk, lanes_out, x.dtype.itemsize)
         n_t = _cdiv(r_out, t_tile)
         rows_needed = _rows_alloc(n_t, t_tile, q_taps)
@@ -436,7 +440,7 @@ def _convt_pallas(x, w, s, pad_lo, out_len, bias=None, act="none",
                                                cin_blk)
         kb, kt = 1, n_t
     else:
-        t_tile = _fit_t_tile(min(_round_up(m_out, 16), 512), q_taps,
+        t_tile = _fit_t_tile(min(_round_up(m_out, 16), _T_TILE_CAP), q_taps,
                              cin_blk, lanes_out, x.dtype.itemsize)
         n_t = _cdiv(m_out, t_tile)
         rows_needed = _rows_alloc(n_t, t_tile, q_taps)

@@ -167,3 +167,28 @@ def test_auto_router_bands():
     assert kc._auto_conv1d_impl(4096, 256, 128, 256, 4) == "xla"
     assert kc._auto_convt1d_impl(512, 256, 256, 128, 4) == "xla"
     assert kc._auto_convt1d_impl(511, 256, 256, 128, 4) == "pallas"
+
+
+@pytest.mark.parametrize("cap,collapse", [(1024, True), (2048, True),
+                                          (1024, False)])
+def test_tile_cap_and_collapse_knobs(rng, monkeypatch, cap, collapse):
+    """The roof-hunt knobs (AUDIOGAN_T_TILE_CAP / universal batch-collapse)
+    change tiling only, never values — pinned so whatever defaults the
+    on-HW sweep picks stay covered."""
+    import audiogan_tpu.kernels.conv as kc
+    monkeypatch.setattr(kc, "_T_TILE_CAP", cap)
+    if collapse:
+        monkeypatch.setattr(kc, "_COLLAPSE_MAX_CONV", 10 ** 9)
+        monkeypatch.setattr(kc, "_COLLAPSE_MAX_CONVT", 10 ** 9)
+    x = _rand(rng, 3, 1024, 64)
+    w = _rand(rng, 25, 64, 128) * 0.1
+    got = pconv1d(x, w, 4, "SAME")
+    want = xconv1d(x, w, stride=4, padding="SAME", impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    xt = _rand(rng, 3, 256, 128)
+    wt = _rand(rng, 25, 128, 64) * 0.1
+    got_t = pconvt1d(xt, wt, 4)
+    want_t = xconvt1d(xt, wt, stride=4, impl="xla")
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               atol=1e-4, rtol=1e-4)

@@ -9,6 +9,11 @@ chip's throttle drift (BASELINE.md methodology).
         [--rounds 5] [--steps 6] [--dtype bfloat16]
 
 Variant syntax: name[=ov1;ov2;...] (semicolon-separated key=value sets).
+An override starting with "gvar:" sets a module attribute instead of a
+config key — e.g. gvar:audiogan_tpu.kernels.conv._T_TILE_CAP=2048 — and
+is applied before THIS variant's trace/compile (tracing happens in the
+build loop, so the value is baked into the variant's compiled step; the
+attribute is restored after compile so later variants see the default).
 """
 
 from __future__ import annotations
@@ -46,8 +51,19 @@ def main():
     for spec in args.variant:
         name, _, ovs = spec.partition("=")
         sets = [o for o in ovs.split(";") if o]
+        gvars, csets = [], []
+        for o in sets:
+            (gvars if o.startswith("gvar:") else csets).append(o)
+        saved = []
+        for o in gvars:
+            path, _, val = o[len("gvar:"):].partition("=")
+            modname, _, attr = path.rpartition(".")
+            import importlib
+            mod = importlib.import_module(modname)
+            saved.append((mod, attr, getattr(mod, attr)))
+            setattr(mod, attr, int(val))
         cfg = apply_overrides(get_preset(args.preset),
-                              [f"train.dtype={args.dtype}"] + sets)
+                              [f"train.dtype={args.dtype}"] + csets)
         state = create_train_state(cfg)
         step = jax.jit(build_train_step(cfg), donate_argnums=(0,))
         rng = np.random.default_rng(0)
@@ -67,6 +83,8 @@ def main():
         float(metrics["d_loss"])
         print(f"{name}: compiled+warm in {time.perf_counter()-t0:.1f}s",
               flush=True)
+        for mod, attr, old in saved:
+            setattr(mod, attr, old)
         runs[name] = [step, state, clips, labels, []]
 
     order0 = list(runs)

@@ -749,33 +749,56 @@ def _auto_backend_ok() -> bool:
 # 0.61-0.66x). auto therefore routes b >= this to xla.
 _AUTO_XLA_BATCH = 512
 
+# auto-router bands, lifted to module globals so step-level ablations can
+# override them per-variant (scripts/step_ab.py gvar: syntax).
+#
+# Re-derived at STEP level under the staged no-remat harness (r3s6 band
+# ablations, 6 interleaved rounds x 10 steps, 2026-08-18): the convt
+# band carries a +9.1% step-level win (ablating it: 7.94 vs base 8.73
+# steps/s), while the old conv1d band (128<=t_out<=512, from the
+# transfer-confounded r3s1 microbenches) COST 1.6% (ablating it: 8.88).
+# conv_roof agrees: pallas conv1d fwd trails xla 1.25-1.47x at every
+# flagship geometry. The conv1d band is therefore EMPTY by default
+# (LO > HI); the globals remain for step-level A/Bs.
+_AUTO_CONV_BAND_LO = 1          # conv1d fwd routes to pallas when
+_AUTO_CONV_BAND_HI = 0          #   _AUTO_CONV_BAND_LO <= t_out <= _HI
+_AUTO_CONVT_MIN = 64            # convt1d routes to pallas when m_out >= this
+
 
 def _auto_conv1d_impl(b: int, t_out: int, cin: int, cout: int,
                       stride: int = 4) -> str:
     """Per-geometry tier choice for impl="auto". Resolved at trace time
     inside the lowering, so every AD-generated conv picks its own best
-    tier for ITS geometry. bf16 flagship layers, interleaved fwd+vjp
-    (scripts/kernel_bench.py 2026-08-17, pallas/xla time ratios):
-    t_out=1024 1.05/0.93, t_out=256 0.85/0.67 (batch-collapse sweet spot),
-    t_out=64 0.96/1.23, t_out=16 1.10/1.06 — only the mid band wins both
-    directions. Bands are measured at stride 4; the music strides
-    (7/7/5/5/3, --sets music same script) measured 0.95-1.43 fwd /
-    1.00-1.72 dx with no reliable win, so auto keeps XLA off-stride-4."""
+    tier for ITS geometry. The conv1d band is EMPTY by default: the r3s6
+    step-level ablation (staged harness) showed the old 128<=t_out<=512
+    band cost 1.6% at the flagship, and conv_roof measured pallas conv1d
+    fwd 1.25-1.47x slower than xla at every flagship geometry (the old
+    band came from the transfer-confounded r3s1 microbenches). Globals
+    _AUTO_CONV_BAND_LO/_HI remain overridable for step-level A/Bs.
+    Music strides (7/7/5/5/3) measured no reliable pallas win either, so
+    auto keeps XLA off-stride-4 too."""
     if not _auto_backend_ok() or stride != 4 or b >= _AUTO_XLA_BATCH:
         return "xla"
-    return "pallas" if (b > 1 and 128 <= t_out <= 512) else "xla"
+    return ("pallas" if (b > 1 and
+                         _AUTO_CONV_BAND_LO <= t_out <= _AUTO_CONV_BAND_HI)
+            else "xla")
 
 
 def _auto_convt1d_impl(b: int, m_out: int, cin: int, cout: int,
                        stride: int = 4) -> str:
-    """convT tier choice for impl="auto". bf16 measured (same run):
-    m_out=1024 0.79/0.99, m_out=256 0.84/1.01, m_out=64 1.00/0.89 — all
-    win; m_out=16 0.95/1.06 is a wash-to-loss (per-call overhead on a
-    16-row grid). Stride-4 bands; music strides measured 0.95-1.30 fwd
-    with dx/dw up to 1.99 (m_out=11760) — XLA off-stride-4."""
+    """convT tier choice for impl="auto". The m_out >= 64 band carries a
+    +9.1% STEP-level win at the flagship (r3s6 band ablation: routing
+    convt to xla drops 8.73 -> 7.94 steps/s, staged harness) even though
+    isolated chained microbenches (conv_roof) show pallas convt fwd
+    1.04-1.13x slower — the win lives in the AD-generated convt
+    geometries inside the GP double-backprop and in step-context
+    scheduling, which only step-level ablation measures. m_out=16 was a
+    wash-to-loss (per-call overhead on a 16-row grid). Stride-4 band;
+    music strides measured 0.95-1.30 fwd with dx/dw up to 1.99
+    (m_out=11760) — XLA off-stride-4."""
     if not _auto_backend_ok() or stride != 4 or b >= _AUTO_XLA_BATCH:
         return "xla"
-    return "pallas" if m_out >= 64 else "xla"
+    return "pallas" if m_out >= _AUTO_CONVT_MIN else "xla"
 
 
 def conv1d_lowered(x, w, stride, pad_lo, pad_hi, impl="pallas"):

@@ -13,22 +13,79 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# 1 (default) = select-over-(2·rad+1)-static-slices formulation. The vmap'd
+# dynamic_slice alternative (=0) lowers to an XLA gather whose vjp is a
+# scatter-add; on TPU those run on the scalar/vector path and together ate
+# 24% of flagship step device time (r3s6b profile: scatter-add 17.0% +
+# gather 7.1%). The select form is 2·rad+1 static slices blended by exact
+# 0/1 masks — pure streaming VPU work that XLA fuses, at the cost of
+# (2·rad+1)x read amplification; its vjp is masked adds, no scatter.
+# Measured +15.8% flagship step rate (step_ab shufsel 10.29 vs 8.88
+# steps/s, r3s6b 2026-08-18). Values are EXACTLY equal (one term is
+# selected, the rest add 0.0), incl. 1st/2nd-order gradients — pinned by
+# tests/ops/test_phase_shuffle.py. Module-global int so step-level A/Bs
+# can flip it per-variant (scripts/step_ab.py gvar: syntax).
+_SELECT_IMPL = 1
 
-def phase_shuffle(x: jnp.ndarray, key: jax.Array, rad: int) -> jnp.ndarray:
-    """Shift [B, T, C] activations by per-example n ~ U{-rad..rad} in time.
+# Top-level tier for the unsharded op: "select" = the XLA forms (gather vs
+# select sub-choice via _SELECT_IMPL above); "pallas" forces the
+# single-HBM-pass kernel pair (kernels/shuffle.py — speed-of-light data
+# movement, exact same values); "auto" routes to pallas on TPU (where it
+# is measured to win) and the XLA form elsewhere. Module global for
+# step-level A/Bs (scripts/step_ab.py gvar: syntax).
+_IMPL = "select"
 
-    Implementation: reflect-pad time by rad on both sides, then per-example
-    dynamic_slice of length T starting at (rad - n). vmap'd so each batch
-    element gets an independent shift; under jit the whole thing is one
-    fused gather.
+
+def _route(t: int, rad: int) -> str:
+    impl = _IMPL
+    if impl == "auto":
+        from audiogan_tpu.kernels import shuffle as ks
+        on_tpu = ks._INTERPRET or jax.default_backend() == "tpu"
+        impl = "pallas" if (on_tpu and ks.supported(t, rad)) else "select"
+    return impl
+
+
+def _apply_shifts(xp: jnp.ndarray, shifts: jnp.ndarray, t: int,
+                  rad: int) -> jnp.ndarray:
+    """Slice [B, t+2·rad, C] -> [B, t, C] at per-example offset rad-shift.
+
+    Shared by the unsharded op below and the CP variant
+    (parallel/halo.py cp_phase_shuffle), which build the padded/extended
+    input differently (reflect pad vs ppermute'd halos) but apply the
+    identical per-example shift.
     """
-    if rad == 0:
-        return x
-    b, t, c = x.shape
-    shifts = jax.random.randint(key, (b,), -rad, rad + 1)
-    xp = jnp.pad(x, ((0, 0), (rad, rad), (0, 0)), mode="reflect")
+    if _SELECT_IMPL:
+        out = None
+        for j in range(2 * rad + 1):             # start j ⇔ shift n = rad-j
+            sel = (shifts == rad - j)[:, None, None]
+            seg = lax.slice_in_dim(xp, j, j + t, axis=1)
+            term = jnp.where(sel, seg, jnp.zeros((), seg.dtype))
+            out = term if out is None else out + term
+        return out
+
+    c = xp.shape[-1]
 
     def take(clip, n):
         return lax.dynamic_slice(clip, (rad - n, 0), (t, c))
 
     return jax.vmap(take)(xp, shifts)
+
+
+def phase_shuffle(x: jnp.ndarray, key: jax.Array, rad: int) -> jnp.ndarray:
+    """Shift [B, T, C] activations by per-example n ~ U{-rad..rad} in time.
+
+    Reflect-pad time by rad on both sides, then take the length-T window
+    starting at (rad - n) per example. The window take is the gather-free
+    select-over-static-slices form by default (_SELECT_IMPL above); set
+    _SELECT_IMPL=0 for the vmap'd-dynamic_slice gather form (same values
+    exactly).
+    """
+    if rad == 0:
+        return x
+    b, t, c = x.shape
+    shifts = jax.random.randint(key, (b,), -rad, rad + 1)
+    if _route(t, rad) == "pallas":
+        from audiogan_tpu.kernels.shuffle import pshuf_prim
+        return pshuf_prim(x, (rad - shifts).astype(jnp.int32), rad=rad)
+    xp = jnp.pad(x, ((0, 0), (rad, rad), (0, 0)), mode="reflect")
+    return _apply_shifts(xp, shifts, t, rad)

@@ -212,8 +212,5 @@ def cp_phase_shuffle(x: jnp.ndarray, key: jax.Array, rad: int, axis: str
     right = jnp.where(idx == n_cp - 1, right_refl, right_recv)
     x_ext = jnp.concatenate([left, x, right], axis=1)
     shifts = jax.random.randint(key, (b,), -rad, rad + 1)
-
-    def take(clip, n):
-        return lax.dynamic_slice(clip, (rad - n, 0), (t, c))
-
-    return jax.vmap(take)(x_ext, shifts)
+    from audiogan_tpu.ops.phase_shuffle import _apply_shifts
+    return _apply_shifts(x_ext, shifts, t, rad)

@@ -24,3 +24,15 @@ timeout 3600 python scripts/step_ab.py --preset wgan_gp_b64 \
   --variant "convwide=$G._AUTO_CONV_BAND_LO=1;$G._AUTO_CONV_BAND_HI=1000000000" \
   --variant "convtall=$G._AUTO_CONVT_MIN=1" \
   --rounds 5 --steps 10
+
+# phase-shuffle cost probe: gather vs gather-free select form vs OFF
+# (shuffle0 changes the math — it is a TIMING diagnostic only)
+timeout 3600 python scripts/step_ab.py --preset wgan_gp_b64 \
+  --variant base \
+  --variant "shufsel=gvar:audiogan_tpu.ops.phase_shuffle._SELECT_IMPL=1" \
+  --variant "shuffle0=model.phase_shuffle=0" \
+  --rounds 5 --steps 10
+
+# device-side per-op profile of the flagship step (Amdahl-gap hunt);
+# graph comes warm from the persistent cache after the step_ab runs
+timeout 1800 python scripts/profile_step.py --steps 3 --top 40

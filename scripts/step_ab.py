@@ -61,7 +61,11 @@ def main():
             import importlib
             mod = importlib.import_module(modname)
             saved.append((mod, attr, getattr(mod, attr)))
-            setattr(mod, attr, int(val))
+            try:
+                parsed = int(val)
+            except ValueError:
+                parsed = val  # string-valued globals (e.g. tier names)
+            setattr(mod, attr, parsed)
         cfg = apply_overrides(get_preset(args.preset),
                               [f"train.dtype={args.dtype}"] + csets)
         state = create_train_state(cfg)

@@ -41,3 +41,40 @@ def test_differentiable(rng):
     g = jax.grad(lambda v: phase_shuffle(v, jax.random.key(0), 2).sum())(x)
     assert g.shape == x.shape
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_select_impl_exactly_matches_gather(rng):
+    """The gather-free select formulation (_SELECT_IMPL=1, the default) must
+    reproduce the vmap'd-dynamic_slice gather form EXACTLY — values, grads,
+    and second-order grads (it sits inside D on the GP double-backprop
+    path)."""
+    import importlib
+    # NOT `import ... as ps`: ops/__init__ rebinds the package attribute
+    # `phase_shuffle` to the function, shadowing the submodule.
+    ps = importlib.import_module("audiogan_tpu.ops.phase_shuffle")
+
+    x = jnp.asarray(rng.standard_normal((16, 48, 5)).astype(np.float32))
+    saved = ps._SELECT_IMPL
+    for rad in (1, 2, 3):
+        key = jax.random.key(rad)
+
+        def loss(v, k=key, r=rad):
+            y = phase_shuffle(v, k, r)
+            return jnp.sum(jnp.tanh(y) * y)
+
+        def evaluate():
+            return (phase_shuffle(x, key, rad),
+                    jax.grad(loss)(x),
+                    jax.grad(lambda v: jnp.sum(jax.grad(loss)(v) ** 2))(x))
+
+        try:
+            ps._SELECT_IMPL = 0
+            base, g_base, gg_base = evaluate()
+            ps._SELECT_IMPL = 1
+            sel, g_sel, gg_sel = evaluate()
+        finally:
+            ps._SELECT_IMPL = saved
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(sel))
+        np.testing.assert_array_equal(np.asarray(g_base), np.asarray(g_sel))
+        np.testing.assert_array_equal(np.asarray(gg_base),
+                                      np.asarray(gg_sel))

@@ -151,12 +151,21 @@ def test_second_order_gp_composition_matches_xla(rng):
 
 
 def test_auto_router_bands():
-    """The measured routing tables (BASELINE.md r3): stride-4 bands only;
-    off-stride-4 geometries and the wgrad contraction stay XLA."""
+    """The measured routing tables (BASELINE.md r3s6 step-level band
+    ablations): conv1d fwd band EMPTY (old 128<=t_out<=512 band cost 1.6%
+    at step level), convt m_out>=64 band kept (+9.1%); off-stride-4
+    geometries and the wgrad contraction stay XLA."""
     import audiogan_tpu.kernels.conv as kc
-    assert kc._auto_conv1d_impl(64, 256, 128, 256, 4) == "pallas"
+    assert kc._auto_conv1d_impl(64, 256, 128, 256, 4) == "xla"   # band empty
     assert kc._auto_conv1d_impl(64, 1024, 64, 128, 4) == "xla"   # off-band
     assert kc._auto_conv1d_impl(64, 256, 128, 256, 7) == "xla"   # off-stride
+    # the band globals stay overridable for step-level A/Bs
+    old = kc._AUTO_CONV_BAND_LO, kc._AUTO_CONV_BAND_HI
+    kc._AUTO_CONV_BAND_LO, kc._AUTO_CONV_BAND_HI = 128, 512
+    try:
+        assert kc._auto_conv1d_impl(64, 256, 128, 256, 4) == "pallas"
+    finally:
+        kc._AUTO_CONV_BAND_LO, kc._AUTO_CONV_BAND_HI = old
     assert kc._auto_convt1d_impl(64, 256, 256, 128, 4) == "pallas"
     assert kc._auto_convt1d_impl(64, 16, 1024, 512, 4) == "xla"  # tiny grid
     assert kc._auto_convt1d_impl(64, 2352, 256, 128, 5) == "xla"  # music

@@ -28,9 +28,9 @@ and the XLA fallback are the same code):
     to its window, then fold the reflect-pad edge contributions back)
 
 with starts[b] = rad - n_b in [0, 2*rad] for shift n_b in [-rad, rad].
-The shift selector rides as a [B, 1] int32 VMEM operand compared against
-each static window index — no scalar-prefetch, no dynamic slices, no
-gathers; Mosaic sees static slices, broadcasts, selects and adds only.
+The shift selector rides as a [B, 1, 1] int32 VMEM operand compared
+against each static window index — no scalar-prefetch, no dynamic slices,
+no gathers; Mosaic sees static slices, broadcasts, selects and adds only.
 """
 
 from __future__ import annotations
@@ -67,9 +67,21 @@ def _rows_blk(b: int, t: int, c: int, rad: int, itemsize: int) -> int:
     return rb
 
 
-def supported(t: int, rad: int) -> bool:
+def supported(t: int, rad: int, c: int | None = None,
+              itemsize: int = 2) -> bool:
     # reflect padding reads rows 1..rad and t-1-rad..t-2
-    return t >= rad + 2
+    if t < rad + 2:
+        return False
+    if c is None:
+        return True
+    # even a single-row block must fit VMEM: 2x input + 2x output
+    # (pipeline double-buffering) + the extended copy and one select temp
+    # (single-instance kernel temps), against the same 13 MB scoped budget
+    # the conv kernels use. Music-geometry activations (t=25200, c=64)
+    # want a ~39 MB frame and must fall back to the select form instead
+    # of a Mosaic compile OOM; the flagship t=4096 frame (~6.3 MB) fits.
+    frame = (6 * t + 8 * rad) * _round_up(c, 128) * itemsize
+    return frame <= 13 * 1024 * 1024
 
 
 # ---------------------------------------------------------------------------
@@ -77,14 +89,20 @@ def supported(t: int, rad: int) -> bool:
 # ---------------------------------------------------------------------------
 
 def _fwd_math(xv: jnp.ndarray, sv: jnp.ndarray, rad: int) -> jnp.ndarray:
-    """[rb, t, c] x [rb, 1] int32 -> [rb, t, c]."""
+    """[rb, t, c] x [rb, 1, 1] int32 -> [rb, t, c].
+
+    sv rides as a 3D [rb, 1, 1] operand: Mosaic requires a block's last
+    TWO dims be (8,128)-divisible or equal to the array's — (1, 1) == the
+    array's trailing dims, leaving the row-block dim unconstrained (a 2D
+    [rb, 1] selector block is illegal whenever rb is not a multiple of 8).
+    """
     rb, t, c = xv.shape
     left = [xv[:, m:m + 1, :] for m in range(rad, 0, -1)]
     right = [xv[:, t - 2 - m:t - 1 - m, :] for m in range(rad)]
     xp = jnp.concatenate(left + [xv] + right, axis=1)  # [rb, t+2rad, c]
     out = None
     for j in range(2 * rad + 1):
-        sel = (sv == j)[:, :, None]                    # [rb, 1, 1]
+        sel = (sv == j)                                # [rb, 1, 1]
         term = jnp.where(sel, xp[:, j:j + t, :], jnp.zeros((), xv.dtype))
         out = term if out is None else out + term
     return out
@@ -109,7 +127,7 @@ def _bwd_math(gv: jnp.ndarray, sv: jnp.ndarray, rad: int) -> jnp.ndarray:
     zero = jnp.zeros((), gv.dtype)
     buf = None                                         # [rb, t+2rad, c]
     for j in range(2 * rad + 1):
-        sel = (sv == j)[:, :, None]
+        sel = (sv == j)                                # [rb, 1, 1]
         term = jnp.where(sel, _pad_rows(gv, j, 2 * rad - j), zero)
         buf = term if buf is None else buf + term
     gx = buf[:, rad:rad + t, :]
@@ -139,18 +157,22 @@ def _pshuf_pallas(x, starts, rad: int, math) -> jnp.ndarray:
     return pl.pallas_call(
         functools.partial(_kernel, rad=rad, math=math),
         grid=(b // rb,),
-        in_specs=[pl.BlockSpec((rb, 1), lambda g: (g, 0)),
+        in_specs=[pl.BlockSpec((rb, 1, 1), lambda g: (g, 0, 0)),
                   pl.BlockSpec((rb, t, c), lambda g: (g, 0, 0))],
         out_specs=pl.BlockSpec((rb, t, c), lambda g: (g, 0, 0)),
         out_shape=_vma_sds((b, t, c), x.dtype, x, starts),
         interpret=_INTERPRET,
-    )(starts.reshape(b, 1).astype(jnp.int32), x)
+    )(starts.reshape(b, 1, 1).astype(jnp.int32), x)
 
 
 def _lowered(x, starts, rad: int, impl: str, math):
-    if impl == "pallas" and supported(x.shape[1], rad):
+    # the VMEM gate also guards forced impl="pallas": unsupported
+    # geometries (huge per-row frames) take the select math instead of a
+    # Mosaic compile OOM
+    if impl == "pallas" and supported(x.shape[1], rad, x.shape[2],
+                                      x.dtype.itemsize):
         return _pshuf_pallas(x, starts, rad, math)
-    return math(x, starts[:, None].astype(jnp.int32), rad)
+    return math(x, starts[:, None, None].astype(jnp.int32), rad)
 
 
 # ---------------------------------------------------------------------------

@@ -120,7 +120,8 @@ class WaveGANDiscriminator(nn.Module):
                           slope=0.2, impl=self.kernels)
             if train and self.phase_shuffle_rad and i < n_layers - 1:
                 key = self.make_rng("phase_shuffle")
-                h = phase_shuffle(h, key, self.phase_shuffle_rad)
+                h = phase_shuffle(h, key, self.phase_shuffle_rad,
+                                  impl=self.kernels)
         feat = h.reshape(h.shape[0], -1)
         score = nn.Dense(1, kernel_init=_KERNEL_INIT, bias_init=_BIAS_INIT,
                          dtype=self.dtype, name="head")(feat)[:, 0]

@@ -29,19 +29,28 @@ _SELECT_IMPL = 1
 
 # Top-level tier for the unsharded op: "select" = the XLA forms (gather vs
 # select sub-choice via _SELECT_IMPL above); "pallas" forces the
-# single-HBM-pass kernel pair (kernels/shuffle.py — speed-of-light data
-# movement, exact same values); "auto" routes to pallas on TPU (where it
-# is measured to win) and the XLA form elsewhere. Module global for
-# step-level A/Bs (scripts/step_ab.py gvar: syntax).
+# single-HBM-pass kernel pair (kernels/shuffle.py — minimal data movement
+# in isolation, exact same values incl. 1st/2nd-order grads on HW);
+# "auto" routes to pallas on TPU when the geometry fits VMEM. Default is
+# SELECT: the kernel is bit-exact but LOSES at step level on every preset
+# (r3s7 interleaved A/Bs 2026-08-18: 0.951 flagship / 0.944 cond_gru /
+# 0.965 dual / 0.875 tiny / 0.941 music vs select) — the standalone
+# pallas_call is a fusion barrier on both sides of an op XLA otherwise
+# blends into neighbors, and its custom-transpose vjp is another. Module
+# global for step-level A/Bs (scripts/step_ab.py gvar: syntax).
 _IMPL = "select"
 
 
-def _route(t: int, rad: int) -> str:
-    impl = _IMPL
+def _route(t: int, rad: int, c: int, itemsize: int, impl: str) -> str:
     if impl == "auto":
+        # measured: the standalone kernel loses at step level everywhere
+        # (r3s7) — auto IS the select form
+        impl = "select"
+    if impl == "pallas":
         from audiogan_tpu.kernels import shuffle as ks
         on_tpu = ks._INTERPRET or jax.default_backend() == "tpu"
-        impl = "pallas" if (on_tpu and ks.supported(t, rad)) else "select"
+        if not (on_tpu and ks.supported(t, rad, c, itemsize)):
+            impl = "select"
     return impl
 
 
@@ -71,7 +80,8 @@ def _apply_shifts(xp: jnp.ndarray, shifts: jnp.ndarray, t: int,
     return jax.vmap(take)(xp, shifts)
 
 
-def phase_shuffle(x: jnp.ndarray, key: jax.Array, rad: int) -> jnp.ndarray:
+def phase_shuffle(x: jnp.ndarray, key: jax.Array, rad: int,
+                  impl: str | None = None) -> jnp.ndarray:
     """Shift [B, T, C] activations by per-example n ~ U{-rad..rad} in time.
 
     Reflect-pad time by rad on both sides, then take the length-T window
@@ -79,12 +89,20 @@ def phase_shuffle(x: jnp.ndarray, key: jax.Array, rad: int) -> jnp.ndarray:
     select-over-static-slices form by default (_SELECT_IMPL above); set
     _SELECT_IMPL=0 for the vmap'd-dynamic_slice gather form (same values
     exactly).
+
+    impl: None -> the module default (_IMPL); "pallas" -> the
+    kernels/shuffle.py single-pass kernel where the geometry fits VMEM
+    (select otherwise); "select"/"xla"/"auto" -> the select form. The
+    model's conv-kernel tier threads through here so uniform
+    `--kernels pallas` exercises the kernel (it loses at step level —
+    r3s7, BASELINE.md — so "auto" routes to select).
     """
     if rad == 0:
         return x
     b, t, c = x.shape
     shifts = jax.random.randint(key, (b,), -rad, rad + 1)
-    if _route(t, rad) == "pallas":
+    if _route(t, rad, c, x.dtype.itemsize,
+              _IMPL if impl is None else impl) == "pallas":
         from audiogan_tpu.kernels.shuffle import pshuf_prim
         return pshuf_prim(x, (rad - shifts).astype(jnp.int32), rad=rad)
     xp = jnp.pad(x, ((0, 0), (rad, rad), (0, 0)), mode="reflect")

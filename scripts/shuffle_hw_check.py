@@ -15,8 +15,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import importlib
+
 import audiogan_tpu.kernels.shuffle as ks
-import audiogan_tpu.ops.phase_shuffle as ps
+
+# NOT `import ... as ps`: ops/__init__ rebinds the package attribute
+# `phase_shuffle` to the function, shadowing the submodule
+ps = importlib.import_module("audiogan_tpu.ops.phase_shuffle")
 
 SHAPES = [(64, 4096, 64), (64, 1024, 128), (64, 256, 256), (64, 64, 512)]
 RAD = 2

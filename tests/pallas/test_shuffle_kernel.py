@@ -127,8 +127,30 @@ def test_phase_shuffle_routes_pallas_and_matches(rng):
                 np.asarray(jax.grad(loss)(x)), np.asarray(g_base))
     finally:
         ps._IMPL = saved
+    # explicit impl= threading (the model's kernels tier): pallas/mixed/
+    # auto/xla all bit-equal the select default
+    for impl in ("pallas", "mixed", "auto", "xla"):
+        np.testing.assert_array_equal(
+            np.asarray(phase_shuffle(x, key, rad, impl=impl)),
+            np.asarray(base))
 
 
 def test_supported_gate():
     assert ks.supported(16, 2)
     assert not ks.supported(3, 2)
+    # VMEM gate: flagship biggest activation fits at rb=1; the music
+    # geometry (t=25200) does not and must route to the select form
+    assert ks.supported(4096, 2, 64, 2)
+    assert not ks.supported(25200, 2, 64, 2)
+
+
+def test_forced_pallas_falls_back_on_unsupported_geometry(rng):
+    """impl='pallas' on a music-scale row must not be a compile error —
+    _lowered routes it to the (identical-value) select math."""
+    rad = 2
+    starts = jnp.asarray(rng.integers(0, 2 * rad + 1, 2).astype(np.int32))
+    xs = jnp.asarray(rng.standard_normal((2, 3, 3)).astype(np.float32))
+    assert not ks.supported(3, rad)
+    got = ks.pshuf_prim(xs, starts, rad=rad, impl="pallas")
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(_ref(xs, starts, rad)))

@@ -888,9 +888,51 @@ def _auto_wgrad_impl(b: int, rows: int, cin: int, cout: int) -> str:
     return "xla"
 
 
+_WGRAD_FORM = _os.environ.get("AUDIOGAN_WGRAD_FORM", "einsum")
+# XLA-tier wgrad contraction form: "einsum" = the phase-grouped einsum
+# stack below (requires a physical (b,rows,s*cin) lane relayout — ~4 ms
+# of the flagship step's reshape bucket, profile r3s8); "conv" = a single
+# conv_general_dilated with batch=channels / feature=batch / rhs_dilation=
+# stride dimension numbers — no relayout, one contraction, and it uses
+# rhs_dilation only (the platform's lhs_dilation miscompile does not
+# apply; value-checked on HW by scripts/wgrad_form_check.py).
+
+
+def _conv1d_wgrad_conv(x, ct, s, pad_lo, k):
+    """dW[j,c,o] = sum_{b,t} x_pad[b, j + t*s, c] * ct[b,t,o] as ONE
+    conv_general_dilated: lhs=x (roles C=b, W=time, N=cin), rhs=ct
+    (roles I=b, W=t_out, O=cout), window_stride=1, rhs_dilation=s,
+    out spec WNC -> [k, cin, cout]. Accumulates f32."""
+    b, t_in, cin = x.shape
+    t_out = ct.shape[1]
+    pad_hi_eff = (t_out - 1) * s + k - t_in - pad_lo
+    return lax.conv_general_dilated(
+        x, ct, window_strides=(1,), padding=((pad_lo, pad_hi_eff),),
+        rhs_dilation=(s,), dimension_numbers=("CWN", "IWO", "WNC"),
+        preferred_element_type=jnp.float32)
+
+
+def _convt1d_wgrad_conv(x, ct, s, pad_lo, out_len, k):
+    """dW[j,c,o] = sum_{b,t} x[b,t,c] * ct[b, t*s + pad_lo - j, o] as ONE
+    conv_general_dilated over the REVERSED tap axis: lhs=ct (roles C=b,
+    W=out_len, N=cout), rhs=x (roles I=b, W=t_in, O=cin),
+    rhs_dilation=s, out spec WCN -> [k, cin, cout], then flip taps.
+    Handles aligned and non-aligned out_len identically."""
+    b, t_in, cin = x.shape
+    pad_conv_lo = k - 1 - pad_lo
+    pad_conv_hi = (t_in - 1) * s + 1 - out_len + pad_lo
+    dwrev = lax.conv_general_dilated(
+        ct, x, window_strides=(1,), padding=((pad_conv_lo, pad_conv_hi),),
+        rhs_dilation=(s,), dimension_numbers=("CWN", "IWO", "WCN"),
+        preferred_element_type=jnp.float32)
+    return dwrev[::-1]
+
+
 def _conv1d_wgrad_xla(x, ct, s, pad_lo, k):
     """Phase-grouped einsum stack (the original transpose_w body):
     Q = ceil(K/s) einsums with s*cin-wide contractions."""
+    if _WGRAD_FORM == "conv":
+        return _conv1d_wgrad_conv(x, ct, s, pad_lo, k)
     b, t_in, cin = x.shape
     t_out = ct.shape[1]
     cout = ct.shape[-1]
@@ -908,6 +950,8 @@ def _conv1d_wgrad_xla(x, ct, s, pad_lo, k):
 
 
 def _convt1d_wgrad_xla(x, ct, s, pad_lo, out_len, k):
+    if _WGRAD_FORM == "conv":
+        return _convt1d_wgrad_conv(x, ct, s, pad_lo, out_len, k)
     b, t_in, cin = x.shape
     cout = ct.shape[-1]
     if out_len % s == 0:

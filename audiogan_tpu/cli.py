@@ -144,6 +144,13 @@ def main(argv: list[str] | None = None) -> int:
     bn = sub.add_parser("bench", help="run the headline benchmark")
     bn.add_argument("--preset", default="wgan_gp_b64")
     bn.add_argument("--steps", type=int, default=10)
+    bn.add_argument("--kernels", default=None,
+                    help="tier override passed through to bench.py "
+                         "(xla|pallas|auto|mixed)")
+    bn.add_argument("--dtype", default=None,
+                    help="compute dtype passed through to bench.py")
+    bn.add_argument("--sample_batch", type=int, default=None,
+                    help="sampler batch passed through to bench.py")
 
     b = sub.add_parser("build-corpus", help="pack a wav tree into a corpus")
     b.add_argument("--wav_dir", required=True)
@@ -249,9 +256,14 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "bench":
         import subprocess
-        return subprocess.call(
-            [sys.executable, str(Path(__file__).parent.parent / "bench.py"),
-             "--preset", args.preset, "--steps", str(args.steps)])
+        argv_b = [sys.executable,
+                  str(Path(__file__).parent.parent / "bench.py"),
+                  "--preset", args.preset, "--steps", str(args.steps)]
+        for flag in ("kernels", "dtype", "sample_batch"):
+            v = getattr(args, flag)
+            if v is not None:
+                argv_b += [f"--{flag}", str(v)]
+        return subprocess.call(argv_b)
 
     if args.cmd == "build-corpus":
         from audiogan_tpu.data.corpus import build_corpus

@@ -124,6 +124,13 @@ class TrainCfg:
     kernels_g: str = ""
     kernels_d: str = ""
     kernels_ingest: str = ""        # "" inherits `kernels`
+    # XLA-tier weight-grad contraction form: "einsum" (phase-grouped
+    # einsum stack, pays a (b,rows,s*cin) lane relayout) | "conv" (single
+    # conv_general_dilated, relayout-free) | "" (process default: env
+    # AUDIOGAN_WGRAD_FORM, else einsum). Applied at step-build time via
+    # kernels.conv.set_wgrad_form; step-level A/B verdict in BASELINE.md
+    # (round 4).
+    wgrad_form: str = ""
     dtype: str = "float32"          # compute dtype for conv stacks
     # observability (SURVEY §5): xplane trace window, optimized-HLO dump of
     # the single train-step graph, NaN debugging
@@ -176,6 +183,10 @@ class Config:
             if v not in (("xla", "pallas", "auto") if f == "kernels"
                          else ("", "xla", "pallas", "auto")):
                 raise ValueError(f"train.{f}={v!r} not in xla|pallas|auto")
+        if self.train.wgrad_form not in ("", "einsum", "conv"):
+            raise ValueError(
+                f"train.wgrad_form={self.train.wgrad_form!r} "
+                "not in einsum|conv")
         if d.clip_len % self.mesh.cp != 0:
             raise ValueError("clip_len must be divisible by mesh.cp")
         if self.mesh.tp > 1:

@@ -896,6 +896,24 @@ _WGRAD_FORM = _os.environ.get("AUDIOGAN_WGRAD_FORM", "einsum")
 # stride dimension numbers — no relayout, one contraction, and it uses
 # rhs_dilation only (the platform's lhs_dilation miscompile does not
 # apply; value-checked on HW by scripts/wgrad_form_check.py).
+# The env var seeds the process default; config (TrainCfg.wgrad_form) sets
+# it per-run via set_wgrad_form() at step-build time. The pure forms
+# (_*_wgrad_einsum / _*_wgrad_conv) stay directly addressable so tests and
+# the HW witness can pin one against the other regardless of this global.
+
+
+def set_wgrad_form(form: str) -> None:
+    """Select the XLA-tier wgrad contraction form ("einsum" | "conv").
+
+    Called by the step builders with TrainCfg.wgrad_form; "" leaves the
+    process default (env AUDIOGAN_WGRAD_FORM, else "einsum") untouched.
+    Affects tracing only — call before jit/lowering."""
+    global _WGRAD_FORM
+    if not form:
+        return
+    if form not in ("einsum", "conv"):
+        raise ValueError(f"wgrad_form={form!r} not in einsum|conv")
+    _WGRAD_FORM = form
 
 
 def _conv1d_wgrad_conv(x, ct, s, pad_lo, k):
@@ -929,10 +947,22 @@ def _convt1d_wgrad_conv(x, ct, s, pad_lo, out_len, k):
 
 
 def _conv1d_wgrad_xla(x, ct, s, pad_lo, k):
-    """Phase-grouped einsum stack (the original transpose_w body):
-    Q = ceil(K/s) einsums with s*cin-wide contractions."""
+    """XLA-tier conv1d wgrad: thin _WGRAD_FORM dispatcher (ADVICE r3)."""
     if _WGRAD_FORM == "conv":
         return _conv1d_wgrad_conv(x, ct, s, pad_lo, k)
+    return _conv1d_wgrad_einsum(x, ct, s, pad_lo, k)
+
+
+def _convt1d_wgrad_xla(x, ct, s, pad_lo, out_len, k):
+    """XLA-tier convT wgrad: thin _WGRAD_FORM dispatcher (ADVICE r3)."""
+    if _WGRAD_FORM == "conv":
+        return _convt1d_wgrad_conv(x, ct, s, pad_lo, out_len, k)
+    return _convt1d_wgrad_einsum(x, ct, s, pad_lo, out_len, k)
+
+
+def _conv1d_wgrad_einsum(x, ct, s, pad_lo, k):
+    """Phase-grouped einsum stack (the original transpose_w body):
+    Q = ceil(K/s) einsums with s*cin-wide contractions."""
     b, t_in, cin = x.shape
     t_out = ct.shape[1]
     cout = ct.shape[-1]
@@ -949,9 +979,9 @@ def _conv1d_wgrad_xla(x, ct, s, pad_lo, k):
     return jnp.stack(dwq).reshape(q_taps * s, cin, cout)[:k]
 
 
-def _convt1d_wgrad_xla(x, ct, s, pad_lo, out_len, k):
-    if _WGRAD_FORM == "conv":
-        return _convt1d_wgrad_conv(x, ct, s, pad_lo, out_len, k)
+def _convt1d_wgrad_einsum(x, ct, s, pad_lo, out_len, k):
+    """Phase-grouped einsum stack for the convT wgrad (tap-phase
+    regrouping; the aligned path packs ct into (b, m_out, s*cout) rows)."""
     b, t_in, cin = x.shape
     cout = ct.shape[-1]
     if out_len % s == 0:

@@ -73,6 +73,8 @@ def build_cp_train_step(cfg: Config, mesh) -> Callable:
     ingests the full (local-batch) clip — cheap elementwise work — and
     slices its time window; all model compute is time-sharded.
     """
+    from audiogan_tpu.kernels import conv as _kconv
+    _kconv.set_wgrad_form(cfg.train.wgrad_form)
     n_critic = cfg.loss.n_critic
     gp_lambda = cfg.loss.gp_lambda
     stft_w = cfg.loss.stft_loss_weight

@@ -114,6 +114,8 @@ def build_train_step(cfg: Config, axis_name: str | None = None
     PRNG stream folds in axis_index so replicas draw decorrelated z/crops
     while applying identical (pmean'd) updates.
     """
+    from audiogan_tpu.kernels import conv as _kconv
+    _kconv.set_wgrad_form(cfg.train.wgrad_form)
     g = build_generator(cfg)
     d = build_discriminator(cfg)
     opt_g, opt_d = make_optimizers(cfg)

@@ -58,6 +58,8 @@ from audiogan_tpu.utils.prng import split_for_step
 def build_tp_train_step(cfg: Config, mesh) -> Callable:
     """Returns state -> jit'd step(state, raw, labels) with the critic
     channel-parallel over 'tp' and the batch sharded over 'data'."""
+    from audiogan_tpu.kernels import conv as _kconv
+    _kconv.set_wgrad_form(cfg.train.wgrad_form)
     n_critic = cfg.loss.n_critic
     gp_lambda = cfg.loss.gp_lambda
     stft_w = cfg.loss.stft_loss_weight

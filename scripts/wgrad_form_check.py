@@ -56,7 +56,7 @@ def build(kind, t_in, cin, cout, s, dtype, rng):
         t_out, pad_lo, _ = kc._same_pads(t_in, K, s)
         ct = jax.device_put(jnp.asarray(
             rng.standard_normal((B, t_out, cout)), dtype))
-        fns = {"einsum": lambda x, ct: kc._conv1d_wgrad_xla(
+        fns = {"einsum": lambda x, ct: kc._conv1d_wgrad_einsum(
                    x, ct, s, pad_lo, K),
                "conv": lambda x, ct: kc._conv1d_wgrad_conv(
                    x, ct, s, pad_lo, K)}
@@ -64,7 +64,7 @@ def build(kind, t_in, cin, cout, s, dtype, rng):
         out_len, pad_lo = t_in * s, (K - 1) // 2
         ct = jax.device_put(jnp.asarray(
             rng.standard_normal((B, out_len, cout)), dtype))
-        fns = {"einsum": lambda x, ct: kc._convt1d_wgrad_xla(
+        fns = {"einsum": lambda x, ct: kc._convt1d_wgrad_einsum(
                    x, ct, s, pad_lo, out_len, K),
                "conv": lambda x, ct: kc._convt1d_wgrad_conv(
                    x, ct, s, pad_lo, out_len, K)}

@@ -17,6 +17,13 @@ def _cmp(a, b, tol):
                                atol=tol, rtol=tol)
 
 
+@pytest.fixture(autouse=True)
+def _pin_einsum_default(monkeypatch):
+    """Pin the process default so the reference legs below stay meaningful
+    even when AUDIOGAN_WGRAD_FORM=conv is exported (ADVICE r3)."""
+    monkeypatch.setattr(kconv, "_WGRAD_FORM", "einsum")
+
+
 # (k, s) pairs covering the flagship (25,4), the miscompile-class (9,4),
 # the music strides, and resampler-ish stride 1.
 PAIRS = [(25, 4), (9, 4), (7, 7), (5, 5), (3, 3), (25, 1), (4, 2)]
@@ -30,7 +37,7 @@ def test_conv1d_wgrad_conv_form_matches_einsum(rng, k, s, dtype):
         t_out, pad_lo, pad_hi = kconv._same_pads(t_in, k, s)
         x = jnp.asarray(rng.standard_normal((b, t_in, cin)), dtype)
         ct = jnp.asarray(rng.standard_normal((b, t_out, cout)), dtype)
-        want = kconv._conv1d_wgrad_xla(x, ct, s, pad_lo, k)
+        want = kconv._conv1d_wgrad_einsum(x, ct, s, pad_lo, k)
         got = kconv._conv1d_wgrad_conv(x, ct, s, pad_lo, k)
         assert got.shape == want.shape == (k, cin, cout)
         _cmp(got, want, 1e-4 if dtype == np.float32 else 2e-2)
@@ -48,7 +55,7 @@ def test_convt1d_wgrad_conv_form_matches_einsum(rng, k, s, dtype):
                 continue
             x = jnp.asarray(rng.standard_normal((b, t_in, cin)), dtype)
             ct = jnp.asarray(rng.standard_normal((b, out_len, cout)), dtype)
-            want = kconv._convt1d_wgrad_xla(x, ct, s, pad_lo, out_len, k)
+            want = kconv._convt1d_wgrad_einsum(x, ct, s, pad_lo, out_len, k)
             got = kconv._convt1d_wgrad_conv(x, ct, s, pad_lo, out_len, k)
             assert got.shape == want.shape == (k, cin, cout)
             _cmp(got, want, 1e-4 if dtype == np.float32 else 2e-2)
@@ -68,13 +75,13 @@ def test_wgrad_form_fuzz(rng):
         ct = jnp.asarray(rng.standard_normal(
             (b, t_out, cout)).astype(np.float32))
         _cmp(kconv._conv1d_wgrad_conv(x, ct, s, pad_lo, k),
-             kconv._conv1d_wgrad_xla(x, ct, s, pad_lo, k), 1e-4)
+             kconv._conv1d_wgrad_einsum(x, ct, s, pad_lo, k), 1e-4)
         out_len = int(g.integers(max((t_in - 1) * s // 2, 1), t_in * s + 1))
         plo = int(g.integers(0, k))
         ct2 = jnp.asarray(rng.standard_normal(
             (b, out_len, cout)).astype(np.float32))
         _cmp(kconv._convt1d_wgrad_conv(x, ct2, s, plo, out_len, k),
-             kconv._convt1d_wgrad_xla(x, ct2, s, plo, out_len, k), 1e-4)
+             kconv._convt1d_wgrad_einsum(x, ct2, s, plo, out_len, k), 1e-4)
 
 
 def test_wgrad_form_global_switches_lowering(rng, monkeypatch):
@@ -88,3 +95,44 @@ def test_wgrad_form_global_switches_lowering(rng, monkeypatch):
     monkeypatch.setattr(kconv, "_WGRAD_FORM", "conv")
     alt = kconv.conv1d_wgrad_lowered(x, ct, s, pad_lo, pad_hi, k, "xla")
     _cmp(alt, base, 1e-4)
+
+
+def test_set_wgrad_form(monkeypatch):
+    """TrainCfg.wgrad_form threads through set_wgrad_form: '' leaves the
+    default, valid values switch the global, junk raises."""
+    monkeypatch.setattr(kconv, "_WGRAD_FORM", "einsum")
+    kconv.set_wgrad_form("")
+    assert kconv._WGRAD_FORM == "einsum"
+    kconv.set_wgrad_form("conv")
+    assert kconv._WGRAD_FORM == "conv"
+    kconv.set_wgrad_form("einsum")
+    assert kconv._WGRAD_FORM == "einsum"
+    with pytest.raises(ValueError):
+        kconv.set_wgrad_form("blas")
+
+
+def test_wgrad_form_config_validation():
+    import dataclasses
+    from audiogan_tpu.config import Config
+    cfg = Config()
+    ok = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, wgrad_form="conv"))
+    ok.validate()
+    bad = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, wgrad_form="blas"))
+    with pytest.raises(ValueError):
+        bad.validate()
+
+
+def test_build_step_applies_wgrad_form(monkeypatch):
+    """build_train_step must push cfg.train.wgrad_form into the kernel
+    module before any tracing happens."""
+    import dataclasses
+    from audiogan_tpu.config import get_preset
+    from audiogan_tpu.train.step import build_train_step
+    monkeypatch.setattr(kconv, "_WGRAD_FORM", "einsum")
+    cfg = get_preset("tiny_sc09")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, wgrad_form="conv"))
+    build_train_step(cfg)
+    assert kconv._WGRAD_FORM == "conv"

@@ -43,6 +43,14 @@ class DataCfg:
                                     # gather runs in-graph — removes the
                                     # per-step host->device bulk transfer
                                     # (train/step.py build_device_corpus_step)
+    # HBM placement of the resident corpus: "replicate" = every device
+    # holds all clips (capped at DEVICE_CORPUS_MAX_GB); "shard" = clip
+    # axis sharded over the batch ('data'/'dcn') axes with an explicit
+    # all_gather(idx)+masked-take+psum_scatter gather on ICI
+    # (parallel/sharded_corpus.py) — n_data_shards x the capacity;
+    # "auto" = replicate when it fits, shard when only the sharded form
+    # fits, host batcher otherwise
+    device_corpus_shard: str = "auto"
 
     @property
     def resampled_len(self) -> int:
@@ -183,6 +191,10 @@ class Config:
             if v not in (("xla", "pallas", "auto") if f == "kernels"
                          else ("", "xla", "pallas", "auto")):
                 raise ValueError(f"train.{f}={v!r} not in xla|pallas|auto")
+        if d.device_corpus_shard not in ("auto", "replicate", "shard"):
+            raise ValueError(
+                f"data.device_corpus_shard={d.device_corpus_shard!r} "
+                "not in auto|replicate|shard")
         if self.train.wgrad_form not in ("", "einsum", "conv"):
             raise ValueError(
                 f"train.wgrad_form={self.train.wgrad_form!r} "

@@ -88,13 +88,29 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
     # device-resident corpus (data.device_corpus): clips live in HBM, the
     # host ships only sample indices per step (build_device_corpus_step)
     dev_corpus = cfg.data.device_corpus
+    shard_corpus = False
     if dev_corpus:
+        from audiogan_tpu.parallel.sharded_corpus import corpus_num_shards
         gb = corpus.clips.nbytes / 2**30
-        if gb > DEVICE_CORPUS_MAX_GB:
+        nsh = corpus_num_shards(mesh)
+        mode = cfg.data.device_corpus_shard
+        if mode == "shard":
+            shard_corpus = True
+        elif mode == "auto" and gb > DEVICE_CORPUS_MAX_GB and nsh > 1 \
+                and gb / nsh <= DEVICE_CORPUS_MAX_GB:
+            # replicated doesn't fit but a 'data'-axis shard does: each
+            # device holds 1/nsh of the clips; the step gathers cross-
+            # replica on ICI (parallel/sharded_corpus.py — VERDICT r3 #4)
+            print(f"[data] corpus is {gb:.1f} GiB: sharding over "
+                  f"{nsh} data shards ({gb / nsh:.1f} GiB/device)",
+                  flush=True)
+            shard_corpus = True
+        elif gb > DEVICE_CORPUS_MAX_GB:
             # too large to hold replicated in HBM next to the training
             # state — fall back to the host batcher rather than failing
             # (the presets default the flag on; corpus size is data-dependent)
-            print(f"[data] corpus is {gb:.1f} GiB > {DEVICE_CORPUS_MAX_GB} GiB: falling back to "
+            print(f"[data] corpus is {gb:.1f} GiB > {DEVICE_CORPUS_MAX_GB} GiB "
+                  f"even at {nsh} shards: falling back to "
                   f"the host batcher (device_corpus off)", flush=True)
             dev_corpus = False
     batcher = HostBatcher(corpus, cfg.train.batch_size, n_views,
@@ -119,17 +135,18 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
         # (shard_map with explicit halo/psum collectives, train/cp_step.py)
         from audiogan_tpu.train.cp_step import build_cp_train_step
         base_step = build_cp_train_step(cfg, mesh)(
-            state, device_corpus=dev_corpus)
+            state, device_corpus=dev_corpus, sharded_corpus=shard_corpus)
     elif cfg.mesh.tp > 1:
         # channel-parallel critic over 'tp' (Megatron-style col/row conv
         # pairing, train/tp_step.py) composed with DP over 'data'
         from audiogan_tpu.train.tp_step import build_tp_train_step
         base_step = build_tp_train_step(cfg, mesh)(
-            state, device_corpus=dev_corpus)
+            state, device_corpus=dev_corpus, sharded_corpus=shard_corpus)
     elif dev_corpus:
         from audiogan_tpu.train.step import build_device_corpus_step
-        base_step = jax.jit(build_device_corpus_step(cfg, mesh),
-                            donate_argnums=(0,))
+        base_step = jax.jit(
+            build_device_corpus_step(cfg, mesh, sharded=shard_corpus),
+            donate_argnums=(0,))
     else:
         step_fn = build_train_step(cfg)
         # Sharding comes in through the operands (device_put below): state
@@ -140,8 +157,16 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
         from audiogan_tpu.parallel.mesh import replicated_sharding
         # put_global_batch so the resident corpus also composes with the
         # multi-host DCN tier (every process holds the same packed corpus)
-        corpus_dev = put_global_batch(np.ascontiguousarray(corpus.clips),
-                                      replicated_sharding(mesh))
+        if shard_corpus:
+            from audiogan_tpu.parallel.sharded_corpus import (
+                corpus_num_shards, corpus_sharding, pad_clips_to_shards)
+            corpus_dev = put_global_batch(
+                pad_clips_to_shards(corpus.clips, corpus_num_shards(mesh)),
+                corpus_sharding(mesh))
+        else:
+            corpus_dev = put_global_batch(
+                np.ascontiguousarray(corpus.clips),
+                replicated_sharding(mesh))
 
         def jit_step(state, idx, labels):
             return base_step(state, corpus_dev, idx, labels)

@@ -54,7 +54,8 @@ def _replica_mean(grads, axis_name: str):
     return jax.tree.map(lambda g: g / n, grads)
 
 
-def wrap_device_corpus(inner: Callable, mesh=None) -> Callable:
+def wrap_device_corpus(inner: Callable, mesh=None,
+                       sharded: bool = False) -> Callable:
     """Wrap a (state, raw, labels) step as a resident-corpus step
     (data.device_corpus):
 
@@ -83,8 +84,18 @@ def wrap_device_corpus(inner: Callable, mesh=None) -> Callable:
 
         from audiogan_tpu.parallel.mesh import data_axes
         shard = NamedSharding(mesh, P(None, data_axes(mesh), None))
+    if sharded and mesh is None:
+        raise ValueError("sharded device corpus requires a mesh")
 
     def step_fn(state: TrainState, corpus_clips, idx, labels):
+        if sharded:
+            # corpus clip axis sharded over the batch axes: explicit
+            # all_gather(idx) + masked take + psum_scatter on ICI
+            # (parallel/sharded_corpus.py) — bit-identical stream
+            from audiogan_tpu.parallel.sharded_corpus import \
+                sharded_corpus_gather
+            raw = sharded_corpus_gather(corpus_clips, idx, mesh)
+            return inner(state, raw, labels)
         raw = jnp.take(corpus_clips, idx, axis=0)   # [n_views, B, store_len]
         if shard is not None:
             raw = jax.lax.with_sharding_constraint(raw, shard)
@@ -93,11 +104,11 @@ def wrap_device_corpus(inner: Callable, mesh=None) -> Callable:
     return step_fn
 
 
-def build_device_corpus_step(cfg: Config, mesh=None
+def build_device_corpus_step(cfg: Config, mesh=None, sharded: bool = False
                              ) -> Callable[..., tuple[TrainState, dict]]:
     """Resident-corpus variant of the data-parallel train step
     (see wrap_device_corpus)."""
-    return wrap_device_corpus(build_train_step(cfg), mesh)
+    return wrap_device_corpus(build_train_step(cfg), mesh, sharded=sharded)
 
 
 def build_train_step(cfg: Config, axis_name: str | None = None

@@ -195,7 +195,8 @@ def build_tp_train_step(cfg: Config, mesh) -> Callable:
                                   opt_d=opt_d_state)
         return new_state, metrics
 
-    def make(state, device_corpus: bool = False):
+    def make(state, device_corpus: bool = False,
+             sharded_corpus: bool = False):
         specs = jax.tree.map(lambda _: P(), state)
         if fsdp:
             def opt_spec(x):
@@ -214,7 +215,7 @@ def build_tp_train_step(cfg: Config, mesh) -> Callable:
             # resident-corpus mode: gather the batch in-graph from the
             # replicated HBM corpus before entering the shard_map
             from audiogan_tpu.train.step import wrap_device_corpus
-            fn = wrap_device_corpus(fn, mesh)
+            fn = wrap_device_corpus(fn, mesh, sharded=sharded_corpus)
         return jax.jit(fn, donate_argnums=(0,))
 
     return make

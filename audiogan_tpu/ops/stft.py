@@ -34,6 +34,17 @@ def _hann(win_len: int) -> np.ndarray:
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_len)).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _windowed_basis(n_fft: int, win_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """DFT basis with the Hann window folded in: frames @ (h∘C) ==
+    (frames*h) @ C by associativity, so the per-frame window multiply —
+    a [.., n_frames, win_len] elementwise pass XLA must stage as a matmul
+    operand — becomes a trace-time constant transform (VERDICT r3 #5)."""
+    cos_b, sin_b = _dft_basis(n_fft, win_len)
+    h = _hann(win_len)[:, None]
+    return (cos_b * h).astype(np.float32), (sin_b * h).astype(np.float32)
+
+
 def frame_signal(x: jnp.ndarray, frame_len: int, hop: int) -> jnp.ndarray:
     """[..., T] -> [..., n_frames, frame_len] with static n_frames.
 
@@ -78,15 +89,16 @@ def stft_magnitude(
             raise ValueError("pad_tail needs T divisible by hop")
         pad = [(0, 0)] * (x.ndim - 1) + [(0, win_len - hop)]
         x = jnp.pad(x, pad)
-    frames = frame_signal(x, win_len, hop) * jnp.asarray(_hann(win_len))
+    frames = frame_signal(x, win_len, hop)
     # rfft as two real MXU matmuls against a precomputed DFT basis, instead
     # of XLA's FFT: (a) for n_fft <= ~1k the 128x128 systolic array runs the
     # dense DFT faster than TPU FFT lowering; (b) it is transparent to
     # every jax transform — jnp.fft.rfft's abstract eval drops shard_map
     # vma annotations under grad-of-grad (the GP double-backprop path),
     # which a plain dot never can. Basis rows stop at win_len: the
-    # zero-padding to n_fft contributes nothing.
-    cos_b, sin_b = _dft_basis(n_fft, win_len)
+    # zero-padding to n_fft contributes nothing. The Hann window is folded
+    # into the basis (one constant, zero runtime ops — see _windowed_basis).
+    cos_b, sin_b = _windowed_basis(n_fft, win_len)
     frames = frames.astype(jnp.float32)
     re = frames @ jnp.asarray(cos_b)
     im = frames @ jnp.asarray(sin_b)

@@ -69,6 +69,15 @@ class ModelCfg:
     kernel_size: int = 25
     strides: tuple[int, ...] = (4, 4, 4, 4, 4)   # per upsample/downsample layer
     phase_shuffle: int = 2          # max |shift| between D conv layers (C10)
+    # Fuse the first N phase-shuffle sites into their consuming critic
+    # convs (kernels/sconv.py weight-shift identity — no shuffled
+    # activation ever materializes on the fwd/dx paths): 0 = off (the
+    # select-form op), -1 = all sites, N = sites 0..N-1 (earliest sites
+    # carry most of the shuffle bytes: T halves while C doubles).
+    # Numerically interchangeable with the unfused critic (same shift
+    # stream, same math). Wave critic + plain dp step only (the cp/tp
+    # shard_map forwards keep the select form).
+    fused_shuffle_sites: int = 0
     use_stft_critic: bool = False   # dual discriminator (C11)
     stft_resolutions: tuple[tuple[int, int, int], ...] = (
         (512, 128, 512), (1024, 256, 1024), (2048, 512, 2048),
@@ -191,6 +200,8 @@ class Config:
             if v not in (("xla", "pallas", "auto") if f == "kernels"
                          else ("", "xla", "pallas", "auto")):
                 raise ValueError(f"train.{f}={v!r} not in xla|pallas|auto")
+        if m.fused_shuffle_sites < -1:
+            raise ValueError("model.fused_shuffle_sites must be >= -1")
         if d.device_corpus_shard not in ("auto", "replicate", "shard"):
             raise ValueError(
                 f"data.device_corpus_shard={d.device_corpus_shard!r} "

@@ -479,3 +479,264 @@ def _ba_batch_rule(prim):
 
 batching.primitive_batchers[conv1d_ba_p] = _ba_batch_rule(conv1d_ba_p)
 batching.primitive_batchers[convt1d_ba_p] = _ba_batch_rule(convt1d_ba_p)
+
+
+# ---------------------------------------------------------------------------
+# shuffled-input conv primitives (VERDICT r3 #1 — kernels/sconv.py)
+#
+# sconv1d(xp, w, offs)    = conv1d(window_select(xp, offs), w)
+# sconv1d_ba(xp, w, b, offs) adds the fused bias+act epilogue
+# sconvt1d(ct, wf, offs)  = window_place(convt1d(ct, wf), offs)
+#
+# xp is the reflect-padded + per-example-masked activation (built by the
+# caller with sconv.mask_reflect_pad — plain jnp, auto-transposable); offs
+# [B] int32 is data-independent (non-differentiable operand). The family
+# is closed under transposition:
+#
+#   transpose_x(sconv1d)   = sconvt1d (flipped kernel)      — select-free
+#   transpose_ct(sconvt1d) = sconv1d  (flipped kernel)      — select-free
+#   transpose_w(either)    = wgrad primitive on window_select(residual)
+#                            (the slot-scatter dual of the weight-shift
+#                            identity has no cheap contraction form, so
+#                            ONLY the weight gradient keeps a select)
+#
+# so the GP double-backprop's x-gradient chain — the dominant shuffle cost
+# — never materializes a shuffle, to any differentiation order.
+# ---------------------------------------------------------------------------
+
+sconv1d_p = jex_core.Primitive("audiogan_sconv1d")
+sconv1d_ba_p = jex_core.Primitive("audiogan_sconv1d_ba")
+sconvt1d_p = jex_core.Primitive("audiogan_sconvt1d")
+
+
+def sconv1d_prim(xp, w, offs, stride: int, pad_lo: int, pad_hi: int,
+                 rad: int, impl: str = "pallas"):
+    xp, w, offs = standard_insert_pvary(xp, w, offs)
+    return sconv1d_p.bind(xp, w, offs, stride=stride, pad_lo=pad_lo,
+                          pad_hi=pad_hi, rad=rad, impl=impl)
+
+
+def sconv1d_ba_prim(xp, w, b, offs, stride: int, pad_lo: int, pad_hi: int,
+                    rad: int, act: str = "none", slope: float = 0.2,
+                    impl: str = "pallas"):
+    xp, w, b, offs = standard_insert_pvary(xp, w, b, offs)
+    return sconv1d_ba_p.bind(xp, w, b, offs, stride=stride, pad_lo=pad_lo,
+                             pad_hi=pad_hi, rad=rad, act=act, slope=slope,
+                             impl=impl)
+
+
+def sconvt1d_prim(ct, wf, offs, stride: int, pad_lo_t: int, t: int,
+                  rad: int, impl: str = "pallas"):
+    ct, wf, offs = standard_insert_pvary(ct, wf, offs)
+    return sconvt1d_p.bind(ct, wf, offs, stride=stride, pad_lo_t=pad_lo_t,
+                           t=t, rad=rad, impl=impl)
+
+
+def _sconv1d_impl(xp, w, offs, *, stride, pad_lo, pad_hi, rad, impl):
+    from audiogan_tpu.kernels.sconv import sconv1d_lowered
+    return sconv1d_lowered(xp, w, offs, stride, pad_lo, pad_hi, rad, impl)
+
+
+def _sconv1d_ba_impl(xp, w, b, offs, *, stride, pad_lo, pad_hi, rad, act,
+                     slope, impl):
+    from audiogan_tpu.kernels.sconv import sconv1d_ba_lowered
+    return sconv1d_ba_lowered(xp, w, b, offs, stride, pad_lo, pad_hi, rad,
+                              act, slope, impl)
+
+
+def _sconvt1d_impl(ct, wf, offs, *, stride, pad_lo_t, t, rad, impl):
+    from audiogan_tpu.kernels.sconv import sconvt1d_lowered
+    return sconvt1d_lowered(ct, wf, offs, stride, pad_lo_t, t, rad, impl)
+
+
+def _sconv_out_aval(prim, args, shape, dtype):
+    vma = standard_vma_rule(prim.name, *args)
+    if vma:
+        return ShapedArray(shape, dtype, vma=vma, sharding=args[0].sharding)
+    return ShapedArray(shape, dtype)
+
+
+def _sconv1d_abstract(xp, w, offs, *, stride, pad_lo, pad_hi, rad, impl):
+    b, tp, cin = xp.shape
+    k, cin2, cout = w.shape
+    assert cin == cin2, (xp.shape, w.shape)
+    assert offs.shape == (b,), (offs.shape, b)
+    t = tp - 2 * rad
+    t_out = _conv1d_t_out(t, k, stride, pad_lo, pad_hi)
+    return _sconv_out_aval(sconv1d_p, (xp, w, offs), (b, t_out, cout),
+                           xp.dtype)
+
+
+def _sconv1d_ba_abstract(xp, w, b, offs, *, stride, pad_lo, pad_hi, rad,
+                         act, slope, impl):
+    bsz, tp, cin = xp.shape
+    k, cin2, cout = w.shape
+    assert cin == cin2 and b.shape == (cout,)
+    t = tp - 2 * rad
+    t_out = _conv1d_t_out(t, k, stride, pad_lo, pad_hi)
+    return _sconv_out_aval(sconv1d_ba_p, (xp, w, b, offs),
+                           (bsz, t_out, cout), xp.dtype)
+
+
+def _sconvt1d_abstract(ct, wf, offs, *, stride, pad_lo_t, t, rad, impl):
+    b, t_in, cout = ct.shape
+    k, cout2, cin = wf.shape
+    assert cout == cout2, (ct.shape, wf.shape)
+    return _sconv_out_aval(sconvt1d_p, (ct, wf, offs),
+                           (b, t + 2 * rad, cin), ct.dtype)
+
+
+sconv1d_p.def_abstract_eval(_sconv1d_abstract)
+sconv1d_ba_p.def_abstract_eval(_sconv1d_ba_abstract)
+sconvt1d_p.def_abstract_eval(_sconvt1d_abstract)
+
+mlir.register_lowering(
+    sconv1d_p, mlir.lower_fun(_sconv1d_impl, multiple_results=False))
+mlir.register_lowering(
+    sconv1d_ba_p, mlir.lower_fun(_sconv1d_ba_impl, multiple_results=False))
+mlir.register_lowering(
+    sconvt1d_p, mlir.lower_fun(_sconvt1d_impl, multiple_results=False))
+
+
+def _seager_impl(prim):
+    cache: dict = {}
+
+    def impl(*args, **params):
+        key = tuple(sorted(params.items()))
+        fn = cache.get(key)
+        if fn is None:
+            body = {"audiogan_sconv1d": _sconv1d_impl,
+                    "audiogan_sconv1d_ba": _sconv1d_ba_impl,
+                    "audiogan_sconvt1d": _sconvt1d_impl}[prim.name]
+            fn = cache[key] = jax.jit(functools.partial(body, **params))
+        return fn(*args)
+    return impl
+
+
+sconv1d_p.def_impl(_seager_impl(sconv1d_p))
+sconv1d_ba_p.def_impl(_seager_impl(sconv1d_ba_p))
+sconvt1d_p.def_impl(_seager_impl(sconvt1d_p))
+
+
+def _sconv1d_jvp(primals, tangents, **params):
+    xp, w, offs = primals
+    dxp, dw, _ = tangents
+    y = sconv1d_prim(xp, w, offs, **params)
+    dy = None
+    if type(dxp) is not ad.Zero:
+        dy = sconv1d_prim(dxp, w, offs, **params)
+    if type(dw) is not ad.Zero:
+        t = sconv1d_prim(xp, dw, offs, **params)
+        dy = t if dy is None else dy + t
+    if dy is None:
+        dy = ad.Zero.from_primal_value(y)
+    return y, dy
+
+
+def _sconvt1d_jvp(primals, tangents, **params):
+    ct, wf, offs = primals
+    dct, dwf, _ = tangents
+    y = sconvt1d_prim(ct, wf, offs, **params)
+    dy = None
+    if type(dct) is not ad.Zero:
+        dy = sconvt1d_prim(dct, wf, offs, **params)
+    if type(dwf) is not ad.Zero:
+        t = sconvt1d_prim(ct, dwf, offs, **params)
+        dy = t if dy is None else dy + t
+    if dy is None:
+        dy = ad.Zero.from_primal_value(y)
+    return y, dy
+
+
+def _sconv1d_transpose(ct, xp, w, offs, *, stride, pad_lo, pad_hi, rad,
+                       impl):
+    assert not ad.is_undefined_primal(offs), \
+        "phase-shuffle offsets are not differentiable"
+    k = w.aval.shape[0] if ad.is_undefined_primal(w) else w.shape[0]
+    if ad.is_undefined_primal(xp):
+        t = xp.aval.shape[1] - 2 * rad
+        dxp = sconvt1d_prim(ct, _flip(w), offs, stride=stride,
+                            pad_lo_t=k - 1 - pad_lo, t=t, rad=rad,
+                            impl=impl)
+        return (dxp, None, None)
+    from audiogan_tpu.kernels.sconv import window_select
+    t = xp.shape[1] - 2 * rad
+    z = window_select(xp, offs, t, rad)
+    dw = conv1d_wgrad_prim(z, ct, stride=stride, pad_lo=pad_lo,
+                           pad_hi=pad_hi, k=k, impl=impl)
+    return (None, dw.astype(w.aval.dtype), None)
+
+
+def _sconvt1d_transpose(g, ct, wf, offs, *, stride, pad_lo_t, t, rad, impl):
+    assert not ad.is_undefined_primal(offs), \
+        "phase-shuffle offsets are not differentiable"
+    k = wf.aval.shape[0] if ad.is_undefined_primal(wf) else wf.shape[0]
+    if ad.is_undefined_primal(ct):
+        t_in = ct.aval.shape[1]
+        lo = k - 1 - pad_lo_t
+        hi = (t_in - 1) * stride + k - lo - t
+        dct = sconv1d_prim(g, _flip(wf), offs, stride=stride, pad_lo=lo,
+                           pad_hi=max(hi, 0), rad=rad, impl=impl)
+        return (dct, None, None)
+    from audiogan_tpu.kernels.sconv import window_select
+    gz = window_select(g, offs, t, rad)
+    dwf = convt1d_wgrad_prim(ct, gz, stride=stride, pad_lo=pad_lo_t,
+                             out_len=t, k=k, impl=impl)
+    return (None, dwf.astype(wf.aval.dtype), None)
+
+
+ad.primitive_jvps[sconv1d_p] = _sconv1d_jvp
+ad.primitive_jvps[sconvt1d_p] = _sconvt1d_jvp
+ad.primitive_transposes[sconv1d_p] = _sconv1d_transpose
+ad.primitive_transposes[sconvt1d_p] = _sconvt1d_transpose
+
+
+def _sconv1d_ba_jvp(primals, tangents, *, act, slope, **params):
+    xp, w, b, offs = primals
+    dxp, dw, db, _ = tangents
+    y = sconv1d_ba_prim(xp, w, b, offs, act=act, slope=slope, **params)
+    dpre = None
+    if type(dxp) is not ad.Zero:
+        dpre = sconv1d_prim(dxp, w, offs, **params)
+    if type(dw) is not ad.Zero:
+        t = sconv1d_prim(xp, dw, offs, **params)
+        dpre = t if dpre is None else dpre + t
+    if type(db) is not ad.Zero:
+        t = jnp.broadcast_to(db.astype(y.dtype), y.shape)
+        dpre = t if dpre is None else dpre + t
+    if dpre is None:
+        return y, ad.Zero.from_primal_value(y)
+    g = _act_out_grad(y, act, slope)
+    return y, dpre if g is None else g * dpre
+
+
+ad.primitive_jvps[sconv1d_ba_p] = _sconv1d_ba_jvp
+
+
+def _sconv_batch_rule(prim, n_tensor):
+    """vmap over the batch operands (xp/ct and offs share axis 0; weights
+    and bias must be unbatched): fold the vmapped axis into B."""
+    def rule(args, dims, **params):
+        xs, offs = args[:n_tensor], args[-1]
+        ds, d_offs = dims[:n_tensor], dims[-1]
+        x, w_like = xs[0], xs[1:]
+        dx = ds[0]
+        if any(d is not None for d in ds[1:]):
+            raise NotImplementedError(
+                f"vmap over {prim.name} weights/bias is not supported")
+        x = jnp.moveaxis(x, dx, 0)
+        v, bsz = x.shape[0], x.shape[1]
+        if d_offs is None:
+            offs_f = jnp.tile(offs[None], (v, 1))
+        else:
+            offs_f = jnp.moveaxis(offs, d_offs, 0)
+        out = prim.bind(x.reshape(v * bsz, *x.shape[2:]), *w_like,
+                        offs_f.reshape(v * bsz), **params)
+        return out.reshape(v, bsz, *out.shape[1:]), 0
+    return rule
+
+
+batching.primitive_batchers[sconv1d_p] = _sconv_batch_rule(sconv1d_p, 2)
+batching.primitive_batchers[sconv1d_ba_p] = _sconv_batch_rule(
+    sconv1d_ba_p, 3)
+batching.primitive_batchers[sconvt1d_p] = _sconv_batch_rule(sconvt1d_p, 2)

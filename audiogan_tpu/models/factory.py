@@ -41,6 +41,7 @@ def build_discriminator(cfg: Config) -> nn.Module:
                   strides=m.strides, phase_shuffle_rad=m.phase_shuffle,
                   num_classes=d.num_classes, embed_dim=m.embed_dim,
                   max_channels=m.max_channels,
+                  fused_shuffle_sites=m.fused_shuffle_sites,
                   kernels=cfg.train.kernels_d or cfg.train.kernels,
                   dtype=dtype)
     if m.use_stft_critic:

@@ -77,6 +77,7 @@ class DualDiscriminator(nn.Module):
     max_channels: int = 1024
     stft_resolution: tuple[int, int, int] = (512, 128, 512)
     kernels: str = "xla"
+    fused_shuffle_sites: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -87,6 +88,7 @@ class DualDiscriminator(nn.Module):
             strides=self.strides, phase_shuffle_rad=self.phase_shuffle_rad,
             num_classes=self.num_classes, embed_dim=self.embed_dim,
             max_channels=self.max_channels, kernels=self.kernels,
+            fused_shuffle_sites=self.fused_shuffle_sites,
             dtype=self.dtype, name="wave_critic")(x, labels, train)
         n_fft, hop, win = self.stft_resolution
         stft_score = STFTCritic(

@@ -24,6 +24,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from audiogan_tpu.kernels.sconv import sconv1d_ba
 from audiogan_tpu.ops.conv import conv1d_ba, conv_transpose1d_ba
 from audiogan_tpu.ops.phase_shuffle import phase_shuffle
 
@@ -101,6 +102,9 @@ class WaveGANDiscriminator(nn.Module):
     embed_dim: int = 64
     max_channels: int = 1024
     kernels: str = "xla"
+    # fuse the first N shuffle sites into their consuming convs
+    # (kernels/sconv.py; ModelCfg.fused_shuffle_sites): -1 = all
+    fused_shuffle_sites: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -109,19 +113,34 @@ class WaveGANDiscriminator(nn.Module):
         """x [B, T, 1] -> scores [B]. Phase shuffle only when train=True."""
         n_layers = len(self.strides)
         chs = _disc_channels(self.model_dim, n_layers, self.max_channels)
+        n_fused = (n_layers - 1 if self.fused_shuffle_sites < 0
+                   else self.fused_shuffle_sites)
         h = x.astype(self.dtype)
+        pending_key = None                      # site i feeds conv i+1
         for i, (s, c_out) in enumerate(zip(self.strides, chs)):
             w = self.param(f"conv_{i}_kernel", _KERNEL_INIT,
                            (self.kernel_size, h.shape[-1], c_out), jnp.float32)
             b = self.param(f"conv_{i}_bias", _BIAS_INIT, (c_out,), jnp.float32)
-            # bias + LeakyReLU(0.2) fused into the conv kernel's epilogue
-            h = conv1d_ba(h, w.astype(self.dtype), b.astype(self.dtype),
-                          stride=s, padding="SAME", act="leaky_relu",
-                          slope=0.2, impl=self.kernels)
+            if pending_key is not None:
+                # fused site: shuffle rides the conv's input (same shift
+                # stream as ops.phase_shuffle — numerically interchangeable)
+                h = sconv1d_ba(h, w.astype(self.dtype), b.astype(self.dtype),
+                               pending_key, self.phase_shuffle_rad, stride=s,
+                               padding="SAME", act="leaky_relu", slope=0.2,
+                               impl=self.kernels)
+                pending_key = None
+            else:
+                # bias + LeakyReLU(0.2) fused into the conv kernel's epilogue
+                h = conv1d_ba(h, w.astype(self.dtype), b.astype(self.dtype),
+                              stride=s, padding="SAME", act="leaky_relu",
+                              slope=0.2, impl=self.kernels)
             if train and self.phase_shuffle_rad and i < n_layers - 1:
                 key = self.make_rng("phase_shuffle")
-                h = phase_shuffle(h, key, self.phase_shuffle_rad,
-                                  impl=self.kernels)
+                if i < n_fused:
+                    pending_key = key
+                else:
+                    h = phase_shuffle(h, key, self.phase_shuffle_rad,
+                                      impl=self.kernels)
         feat = h.reshape(h.shape[0], -1)
         score = nn.Dense(1, kernel_init=_KERNEL_INIT, bias_init=_BIAS_INIT,
                          dtype=self.dtype, name="head")(feat)[:, 0]

@@ -94,9 +94,20 @@ def mask_reflect_pad(y: jnp.ndarray, offs: jnp.ndarray, rad: int
 # lowering; also the CPU / interpret / non-TPU path)
 # ---------------------------------------------------------------------------
 
+def _sconv1d_route(xp, w, stride, pad_lo, pad_hi, rad, impl):
+    b, tp, cin = xp.shape
+    k, _, cout = w.shape
+    t_out = (tp - 2 * rad + pad_lo + pad_hi - k) // stride + 1
+    if not _sconv_fwd_ok(b, t_out, cin, cout, stride, rad, xp.dtype):
+        return "xla"
+    if impl == "auto":
+        return "pallas" if t_out >= _AUTO_SCONV_MIN else "xla"
+    return impl
+
+
 def sconv1d_lowered(xp, w, offs, stride, pad_lo, pad_hi, rad, impl):
     """conv1d(window_select(xp, offs), w) — [B,T+2rad,Cin] -> [B,T',Cout]."""
-    if impl == "pallas" and _pallas_ok(xp, w, stride):
+    if _sconv1d_route(xp, w, stride, pad_lo, pad_hi, rad, impl) == "pallas":
         return _sconv1d_pallas(xp, w, offs, stride, pad_lo, pad_hi, rad)
     t = xp.shape[1] - 2 * rad
     z = window_select(xp, offs, t, rad)
@@ -105,7 +116,7 @@ def sconv1d_lowered(xp, w, offs, stride, pad_lo, pad_hi, rad, impl):
 
 def sconv1d_ba_lowered(xp, w, b, offs, stride, pad_lo, pad_hi, rad, act,
                        slope, impl):
-    if impl == "pallas" and _pallas_ok(xp, w, stride):
+    if _sconv1d_route(xp, w, stride, pad_lo, pad_hi, rad, impl) == "pallas":
         return _sconv1d_pallas(xp, w, offs, stride, pad_lo, pad_hi, rad,
                                bias=b, act=act, slope=slope)
     t = xp.shape[1] - 2 * rad
@@ -120,29 +131,411 @@ def sconvt1d_lowered(ct, wf, offs, stride, pad_lo_t, t, rad, impl):
 
     pad_lo_t is the convT's pad (k - 1 - pad_lo of the forward conv); t is
     the unpadded window length (convT out_len)."""
-    if impl == "pallas" and _pallas_ok(ct, wf, stride):
+    b, _, cc = ct.shape
+    k, _, co = wf.shape
+    ok = _sconvt_ok(b, t // stride, cc, co, stride, t, ct.dtype)
+    use = impl if impl != "auto" else (
+        "pallas" if t // stride >= _AUTO_SCONVT_MIN else "xla")
+    if ok and use == "pallas":
         return _sconvt1d_pallas(ct, wf, offs, stride, pad_lo_t, t, rad)
     u = convt1d_lowered(ct, wf, stride, pad_lo_t, t, impl="xla")
     return window_place(u, offs, rad)
 
 
 # ---------------------------------------------------------------------------
-# Pallas tier (stage 2): weight-stack kernels — scalar-prefetched variant
-# selection on the existing rowconv/convT kernels. Until the stacked
-# kernels land, the pallas tier routes to the XLA forms.
+# Pallas tier: the shuffle rides the conv kernel's data movement.
+#
+# fwd (sconv1d): decompose off = r_row*s + r_sub. The whole-row part shifts
+# each example's haloed input DMA start (free — the DMA start is already a
+# computed index); the sub-row part is a "funnel shift" on the DMA'd
+# [rows, s*cin] tile: one dynamic lane roll by r_sub*cin + one static row
+# roll + one select (3 VPU passes over a tile the kernel reads Q times for
+# matmuls anyway). No shuffled activation ever exists in HBM.
+#
+# transpose (sconvt1d): the place() offset moves to the OUTPUT side — the
+# accumulator is computed for t_tile+1 rows (one leading row of overlap
+# with the previous tile), funnel-shifted by r_sub on the (rho, cin) lanes,
+# and written to HBM by a manual double-buffered DMA whose destination row
+# start carries r_row. Rows the shift leaves unwritten hold garbage; the
+# caller's live-window mask (required for place() exactness anyway) zeroes
+# them in the same pass that unpacks the row layout.
 # ---------------------------------------------------------------------------
 
-def _pallas_ok(x, w, stride) -> bool:
-    return False
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from audiogan_tpu.kernels import conv as kc
+from audiogan_tpu.kernels.conv import (_cdiv, _in_ch_blocks, _round_up,
+                                       _convt_phase_range, _convt_phase_taps,
+                                       _vma_sds, MIN_CH)
+
+# auto-router bands (module globals so step-level ablations can override,
+# like kc._AUTO_*). Unlike the plain conv1d band (empty — pallas conv1d fwd
+# loses 1.25-1.47x to XLA), the fused fwd also REMOVES the select form's
+# (2rad+2)-traversal materialization, so it starts enabled pending the
+# step-level A/B; the sconvt band mirrors the winning convt band.
+_AUTO_SCONV_MIN = 256           # sconv1d fwd -> pallas when t_out >= this
+_AUTO_SCONVT_MIN = 64           # sconvt1d -> pallas when m_out >= this
+
+
+def _backend_ok() -> bool:
+    return kc._auto_backend_ok()
+
+
+def _fit_tile(t_tile: int, q_taps: int, lanes_in: int, lanes_out: int,
+              itemsize: int, extra_rows: int) -> int:
+    """Largest multiple-of-16 row tile fitting the 13 MiB scoped-VMEM
+    budget: double-buffered haloed input + funnel scratch (fwd) or
+    extended accumulator + output double buffer (transpose)."""
+    budget = 13 * 1024 * 1024
+    w_bytes = q_taps * lanes_in * lanes_out * itemsize
+    while True:
+        rows_tile = _round_up(t_tile + q_taps + extra_rows, 16)
+        need = (3 * rows_tile * lanes_in * itemsize      # 2x dbl buf + funnel
+                + w_bytes
+                + (t_tile + 16) * lanes_out * 4          # f32 accumulator
+                + 2 * t_tile * lanes_out * itemsize      # out (dbl) window
+                + 2 * t_tile * lanes_out * itemsize)     # pipeline headroom
+        if need <= budget:
+            return t_tile
+        if t_tile <= 16:
+            raise ValueError(
+                f"sconv tile does not fit VMEM: q_taps={q_taps} "
+                f"lanes={lanes_in}x{lanes_out} needs {need / 2**20:.1f} MiB")
+        t_tile -= 16
+
+
+def _sconv_kernel(offs_ref, x_hbm, w_ref, *rest, s, cin_blk, q_taps, t_tile,
+                  rows_tile, grid_dims, act, slope, has_bias, pad_lo, t):
+    """Fused-shuffle rowconv body (see kc._rowconv_kernel for the base
+    pipeline: double-buffered haloed DMA + Q shifted matmuls + persistent
+    f32 accumulator + fused epilogue)."""
+    if has_bias:
+        b_ref, o_ref, xs, zs, acc, sem = rest
+    else:
+        b_ref, (o_ref, xs, zs, acc, sem) = None, rest
+    b, ti, co, ci = (pl.program_id(i) for i in range(4))
+    nb, nt, nco, nci = grid_dims
+    total = nb * nt * nco * nci
+    linear = ((b * nt + ti) * nco + co) * nci + ci
+    slot = linear % 2
+
+    def make_dma(b_, ti_, ci_, slot_):
+        r_row = offs_ref[b_] // s               # whole-row part of the shift
+        src = x_hbm.at[b_, ci_, pl.ds(ti_ * t_tile + r_row, rows_tile), :]
+        return pltpu.make_async_copy(src, xs.at[slot_], sem.at[slot_])
+
+    @pl.when(linear == 0)
+    def _():
+        make_dma(b, ti, ci, slot).start()
+
+    nxt = linear + 1
+
+    @pl.when(nxt < total)
+    def _():
+        ci_n = nxt % nci
+        rest_ = nxt // nci
+        ti_n = (rest_ // nco) % nt
+        b_n = rest_ // (nco * nt)
+        make_dma(b_n, ti_n, ci_n, nxt % 2).start()
+
+    make_dma(b, ti, ci, slot).wait()
+
+    # funnel: z[r] = concat(a[r, r_sub*c:], a[r+1, :r_sub*c]) — the sub-row
+    # part of the per-example shift, applied once per tile
+    a = xs[slot]
+    lanes = s * cin_blk
+    r_sub = offs_ref[b] % s
+    sh = jnp.where(r_sub == 0, 0, lanes - r_sub * cin_blk)
+    r1 = pltpu.roll(a, sh, axis=1)
+    r2 = pltpu.roll(r1, rows_tile - 1, axis=0)  # row r+1 into row r
+    lane = lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    z = jnp.where(lane < lanes - r_sub * cin_blk, r1, r2)
+    # conv-pad mask: z-space sample (row*s + lane_sample - pad_lo relative
+    # to this tile) outside [0, t) is the conv's zero padding — the shifted
+    # read window covers real xp data there, which select+conv never reads.
+    # Off-independent: the shift maps z positions to xp positions, so only
+    # z-space validity matters (2 compares + select per tile).
+    row = lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    sample = (ti * t_tile + row) * s + lane // cin_blk - pad_lo
+    zs[...] = jnp.where((sample >= 0) & (sample < t), z,
+                        jnp.zeros((), z.dtype))
+
+    @pl.when(ci == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    av = acc[...]
+    for q in range(q_taps):                     # static unroll
+        av += jnp.dot(zs[pl.ds(q, t_tile), :], w_ref[0, 0, q],
+                      preferred_element_type=jnp.float32)
+    acc[...] = av
+
+    @pl.when(ci == nci - 1)
+    def _():
+        r = av if b_ref is None else av + b_ref[0]
+        o_ref[0, 0] = kc._apply_act(r, act, slope).astype(o_ref.dtype)
 
 
 def _sconv1d_pallas(xp, w, offs, stride, pad_lo, pad_hi, rad,
                     bias=None, act="none", slope=0.2):
-    raise NotImplementedError
+    s = stride
+    b, tp, cin = xp.shape
+    k, _, cout = w.shape
+    t = tp - 2 * rad
+    t_out = (t + pad_lo + pad_hi - k) // s + 1
+    cin_p, cin_blk = _in_ch_blocks(cin, s)
+    cout_p = _round_up(cout, 128)
+    if cout_p > 256:
+        cout_p = _round_up(cout_p, 256)
+    cout_blk = min(cout_p, 256)
+    q_taps = _cdiv(k, s)
+    n_ci, n_co = cin_p // cin_blk, cout_p // cout_blk
+    r_row_max = (2 * rad) // s
+
+    t_tile = _fit_tile(min(_round_up(t_out, 16), kc._T_TILE_CAP), q_taps,
+                       s * cin_blk, cout_blk, xp.dtype.itemsize, 0)
+    n_t = _cdiv(t_out, t_tile)
+    # +1 halo row over the plain conv (the funnel reads row r+1)
+    rows_tile = _round_up(t_tile + q_taps, 16)
+    rows_needed = (n_t - 1) * t_tile + rows_tile + r_row_max
+    pad_back = rows_needed * s - pad_lo - tp
+    xq = jnp.pad(xp, ((0, 0), (pad_lo, max(pad_back, 0)),
+                      (0, cin_p - cin)))[:, :rows_needed * s]
+    xr = xq.reshape(b, rows_needed, s, n_ci, cin_blk)
+    x_rows = xr.transpose(0, 3, 1, 2, 4).reshape(b, n_ci, rows_needed,
+                                                 s * cin_blk)
+
+    wp = jnp.pad(w, ((0, q_taps * s - k), (0, cin_p - cin),
+                     (0, cout_p - cout)))
+    wt = wp.reshape(q_taps, s, n_ci, cin_blk, n_co, cout_blk)
+    w_taps = wt.transpose(2, 4, 0, 1, 3, 5).reshape(
+        n_ci, n_co, q_taps, s * cin_blk, cout_blk)
+
+    grid = (b, n_t, n_co, n_ci)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # offs [B]
+        pl.BlockSpec(memory_space=pl.ANY),       # x rows stay in HBM
+        pl.BlockSpec((1, 1, q_taps, s * cin_blk, cout_blk),
+                     lambda b_, t_, co_, ci_: (ci_, co_, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [offs.astype(jnp.int32), x_rows, w_taps]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, 1, cout_blk),
+                                     lambda b_, t_, co_, ci_: (co_, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.pad(bias, (0, cout_p - cout)).astype(
+            jnp.float32).reshape(n_co, 1, cout_blk))
+    out = pl.pallas_call(
+        functools.partial(_sconv_kernel, s=s, cin_blk=cin_blk,
+                          q_taps=q_taps, t_tile=t_tile, rows_tile=rows_tile,
+                          grid_dims=grid, act=act, slope=slope,
+                          has_bias=bias is not None, pad_lo=pad_lo, t=t),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, t_tile, cout_blk),
+                               lambda b_, t_, co_, ci_: (b_, co_, t_, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=_vma_sds((b, n_co, n_t * t_tile, cout_blk), xp.dtype,
+                           x_rows, w_taps, bias),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows_tile, s * cin_blk), xp.dtype),
+            pltpu.VMEM((rows_tile, s * cin_blk), xp.dtype),   # funnel
+            pltpu.VMEM((t_tile, cout_blk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t_out * k * cin * cout,
+            bytes_accessed=(b * rows_needed * s * cin_p * n_co
+                            + q_taps * s * cin_p * cout_p
+                            + b * t_out * cout_p) * xp.dtype.itemsize,
+            transcendentals=(b * t_out * cout_p if act == "tanh" else 0)),
+        interpret=kc._INTERPRET,
+    )(*args)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n_t * t_tile, n_co * cout_blk)
+    return out[:, :t_out, :cout]
+
+
+def _sconvt_kernel(offs_ref, x_hbm, w_ref, o_hbm, xs, acc, obuf, sem, sem_o,
+                   *, s, co_blk, q_taps, t_tile, t_ext, rows_tile,
+                   grid_dims):
+    b, ti, co, ci = (pl.program_id(i) for i in range(4))
+    nb, nt, nco, nci = grid_dims
+    total = nb * nt * nco * nci
+    linear = ((b * nt + ti) * nco + co) * nci + ci
+    slot = linear % 2
+    n_osteps = nb * nt * nco
+
+    def make_dma(b_, ti_, ci_, slot_):
+        src = x_hbm.at[b_, ci_, pl.ds(ti_ * t_tile, rows_tile), :]
+        return pltpu.make_async_copy(src, xs.at[slot_], sem.at[slot_])
+
+    @pl.when(linear == 0)
+    def _():
+        make_dma(b, ti, ci, slot).start()
+
+    nxt = linear + 1
+
+    @pl.when(nxt < total)
+    def _():
+        ci_n = nxt % nci
+        rest_ = nxt // nci
+        ti_n = (rest_ // nco) % nt
+        b_n = rest_ // (nco * nt)
+        make_dma(b_n, ti_n, ci_n, nxt % 2).start()
+
+    make_dma(b, ti, ci, slot).wait()
+
+    @pl.when(ci == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    av = acc[...]
+    for q in range(q_taps):                     # static unroll
+        av += jnp.dot(xs[slot, pl.ds(q, t_ext), :], w_ref[0, 0, q],
+                      preferred_element_type=jnp.float32)
+    acc[...] = av
+
+    lanes = av.shape[-1]
+
+    def make_odma(b_, ti_, co_, slot_):
+        r_row = offs_ref[b_] // s
+        dst = o_hbm.at[b_, co_, pl.ds(ti_ * t_tile + r_row, t_tile), :]
+        return pltpu.make_async_copy(obuf.at[slot_], dst, sem_o.at[slot_])
+
+    @pl.when(ci == nci - 1)
+    def _():
+        # place(): funnel the accumulator by the sub-row shift. acc row j
+        # holds u row ti*t_tile + j - 1; output row M = ti*t_tile + r_row
+        # + m takes lanes >= r_sub*c from u row M - r_row (= acc[m+1]) and
+        # the rest from u row M - r_row - 1 (= acc[m]).
+        r_sub = offs_ref[b] % s
+        sh = r_sub * co_blk
+        rf = pltpu.roll(av, sh, axis=1)
+        hi = pltpu.roll(rf, t_ext - 1, axis=0)  # rf[m+1] into row m
+        lane = lax.broadcasted_iota(jnp.int32, rf.shape, 1)
+        o = jnp.where(lane >= sh, hi, rf)[:t_tile]
+        o_step = (b * nt + ti) * nco + co
+        slot_o = o_step % 2
+
+        @pl.when(o_step >= 2)
+        def _():
+            # wait the DMA that used this slot two output-steps ago (same
+            # semaphore, same transfer size — the descriptor's indices only
+            # size the wait)
+            make_odma(b, ti, co, slot_o).wait()
+
+        obuf[slot_o] = o.astype(obuf.dtype)
+        make_odma(b, ti, co, slot_o).start()
+
+    @pl.when(linear == total - 1)
+    def _():
+        # drain: the last output DMA just issued on slot_o, and (if any)
+        # the previous one on the other slot is still outstanding
+        slot_l = (n_osteps - 1) % 2
+        make_odma(b, ti, co, slot_l).wait()
+        if n_osteps >= 2:
+            make_odma(b, ti, co, 1 - slot_l).wait()
 
 
 def _sconvt1d_pallas(ct, wf, offs, stride, pad_lo_t, t, rad):
-    raise NotImplementedError
+    s = stride
+    b, t_in, cc = ct.shape
+    k, _, co = wf.shape
+    assert t % s == 0
+    m_out = t // s
+    cc_p = _round_up(cc, 128)
+    if cc_p > 256:
+        cc_p = _round_up(cc_p, 256)
+    cc_blk = min(cc_p, 256)
+    co_p, co_blk = _in_ch_blocks(co, s, blk_cap=max(1024 // s // 128, 1) * 128)
+    n_ci, n_co = cc_p // cc_blk, co_p // co_blk
+    lanes_out = s * co_blk
+    r_row_max = (2 * rad) // s
+
+    q_min, q_taps = _convt_phase_range(k, s, pad_lo_t)
+    # write m_out+1 rows per example: a sub-row shift spills one row
+    t_tile = _fit_tile(min(_round_up(m_out + 1, 16), kc._T_TILE_CAP),
+                       q_taps, cc_blk, lanes_out, ct.dtype.itemsize, 16)
+    n_t = _cdiv(m_out + 1, t_tile)
+    t_ext = t_tile + 16                 # one leading overlap row (aligned)
+    rows_tile = _round_up(t_ext + q_taps - 1, 16)
+    rows_needed = (n_t - 1) * t_tile + rows_tile
+    front = -q_min + 1                  # +1: acc row j = u row base + j - 1
+    pad_back = rows_needed - front - t_in
+    if pad_back < 0:
+        ct, t_in, pad_back = ct[:, :t_in + pad_back], t_in + pad_back, 0
+    x_pad = jnp.pad(ct, ((0, 0), (front, pad_back), (0, cc_p - cc)))
+    xr = x_pad.reshape(b, rows_needed, n_ci, cc_blk)
+    x_rows = xr.transpose(0, 2, 1, 3)
+
+    wp = jnp.pad(wf, ((0, 0), (0, cc_p - cc), (0, co_p - co)))
+    v, _, _ = _convt_phase_taps(wp, s, pad_lo_t)        # [Q, s, cc_p, co_p]
+    v = v.transpose(0, 2, 1, 3)                         # [Q, cc_p, s, co_p]
+    v = v.reshape(q_taps, n_ci, cc_blk, s, n_co, co_blk)
+    w_taps = v.transpose(1, 4, 0, 2, 3, 5).reshape(
+        n_ci, n_co, q_taps, cc_blk, lanes_out)
+
+    r_alloc = n_t * t_tile + r_row_max
+    grid = (b, n_t, n_co, n_ci)
+    out = pl.pallas_call(
+        functools.partial(_sconvt_kernel, s=s, co_blk=co_blk, q_taps=q_taps,
+                          t_tile=t_tile, t_ext=t_ext, rows_tile=rows_tile,
+                          grid_dims=grid),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # offs [B]
+            pl.BlockSpec(memory_space=pl.ANY),          # ct rows in HBM
+            pl.BlockSpec((1, 1, q_taps, cc_blk, lanes_out),
+                         lambda b_, t_, co_, ci_: (ci_, co_, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),    # manual shifted DMA
+        out_shape=_vma_sds((b, n_co, r_alloc, lanes_out), ct.dtype,
+                           x_rows, w_taps),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows_tile, cc_blk), ct.dtype),
+            pltpu.VMEM((t_ext, lanes_out), jnp.float32),
+            pltpu.VMEM((2, t_tile, lanes_out), ct.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * m_out * k * cc * co,
+            bytes_accessed=(b * rows_needed * cc_p * n_co
+                            + q_taps * s * cc_p * co_p
+                            + b * t * co_p) * ct.dtype.itemsize,
+            transcendentals=0),
+        interpret=kc._INTERPRET,
+    )(offs.astype(jnp.int32), x_rows, w_taps)
+    out = out.reshape(b, n_co, r_alloc, s, co_blk)
+    out = out.transpose(0, 2, 3, 1, 4).reshape(b, r_alloc * s, n_co * co_blk)
+    out = out[:, :t + 2 * rad, :co]
+    # live-window mask: place() is zero outside [off, off+t); this also
+    # zeroes the rows the shifted DMA never wrote (fused into the unpack)
+    pos = jnp.arange(t + 2 * rad, dtype=jnp.int32)[None, :, None]
+    o = offs[:, None, None]
+    return jnp.where((pos >= o) & (pos < o + t), out,
+                     jnp.zeros((), out.dtype))
+
+
+def _sconv_fwd_ok(b, t_out, cin, cout, s, rad, dtype) -> bool:
+    return (_backend_ok() and min(cin, cout) >= MIN_CH and b > 1
+            and dtype in (jnp.float32, jnp.bfloat16))
+
+
+def _sconvt_ok(b, m_out, cc, co, s, t, dtype) -> bool:
+    return (_backend_ok() and min(cc, co) >= MIN_CH and t % s == 0
+            and b > 1 and dtype in (jnp.float32, jnp.bfloat16))
 
 
 def sconv1d_ba(y: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,

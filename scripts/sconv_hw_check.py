@@ -1,7 +1,17 @@
 """On-HW exactness witness for the sconv (fused phase-shuffle conv) family
-(VERDICT r3 #1): the fused critic must match the unfused select-form critic
-compiled on the real chip — values, x-gradients, and the GP double-backprop
-weight gradients — at flagship shapes, in both f32 and bf16.
+(VERDICT r3 #1), compiled on the real chip at flagship critic shapes.
+
+Three comparisons, each against the right reference:
+
+1. fused-xla vs unfused-xla: SAME conv lowerings on both sides (the sconv
+   XLA tier is literally window-select + the plain conv primitive), so
+   values and GP double-backprop grads must agree to float-roundoff even
+   in bf16.
+2. unfused-auto vs unfused-xla: the inherent cross-tier noise floor (the
+   auto band routes convT to Pallas) — measured, not asserted, and used to
+   scale what (3) may show.
+3. fused-auto vs fused-xla: the Pallas sconv kernels against their XLA
+   reference — must sit within ~the (2) noise floor.
 
 Run (TPU): PYTHONPATH=/root/repo:$PYTHONPATH python scripts/sconv_hw_check.py
 """
@@ -18,58 +28,80 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def check_critic(dtype, kernels, tol_v, tol_g):
+def build(dtype, kernels, fused):
     from audiogan_tpu.models.wavegan import WaveGANDiscriminator
+    return WaveGANDiscriminator(
+        model_dim=64, kernel_size=25, strides=(4, 4, 4, 4, 4),
+        max_channels=1024, kernels=kernels, dtype=dtype,
+        fused_shuffle_sites=-1 if fused else 0)
 
-    kw = dict(model_dim=64, kernel_size=25, strides=(4, 4, 4, 4, 4),
-              max_channels=1024, kernels=kernels, dtype=dtype)
-    d0 = WaveGANDiscriminator(fused_shuffle_sites=0, **kw)
-    d1 = WaveGANDiscriminator(fused_shuffle_sites=-1, **kw)
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((8, 16384, 1)).astype(np.float32))
-    params = d0.init({"params": jax.random.key(0),
-                      "phase_shuffle": jax.random.key(1)}, x)
 
-    def score(d):
-        def f(p, v):
-            return d.apply(p, v, train=True,
-                           rngs={"phase_shuffle": jax.random.key(7)})
-        return f
+def run(d, params, x):
+    def score(p, v):
+        return d.apply(p, v, train=True,
+                       rngs={"phase_shuffle": jax.random.key(7)})
 
-    s0 = jax.jit(score(d0))(params, x)
-    s1 = jax.jit(score(d1))(params, x)
-    dv = float(jnp.max(jnp.abs(s1 - s0)) / (jnp.max(jnp.abs(s0)) + 1e-9))
-    assert dv <= tol_v, f"values: rel {dv:.3g} > {tol_v}"
+    def gp(p):
+        gx = jax.grad(lambda v: jnp.sum(score(p, v)))(x)
+        return jnp.sum(jnp.square(gx))
 
-    def gp(d):
-        f = score(d)
+    s = jax.jit(score)(params, x)
+    v, g = jax.jit(jax.value_and_grad(gp))(params)
+    return s, v, g
 
-        def g(p):
-            gx = jax.grad(lambda v: jnp.sum(f(p, v)))(x)
-            return jnp.sum(jnp.square(gx))
-        return g
 
-    g0 = jax.jit(jax.value_and_grad(gp(d0)))(params)
-    g1 = jax.jit(jax.value_and_grad(gp(d1)))(params)
-    dgp = abs(float(g1[0] - g0[0])) / (abs(float(g0[0])) + 1e-9)
-    assert dgp <= tol_v, f"gp value: rel {dgp:.3g} > {tol_v}"
+def rel(a, b):
     worst = 0.0
-    for a, b in zip(jax.tree.leaves(g0[1]), jax.tree.leaves(g1[1])):
-        num = float(jnp.max(jnp.abs(b - a)))
-        den = float(jnp.max(jnp.abs(a))) + 1e-9
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        num = float(jnp.max(jnp.abs(lb - la)))
+        den = float(jnp.max(jnp.abs(la))) + 1e-9
         worst = max(worst, num / den)
-    assert worst <= tol_g, f"gp grads: rel {worst:.3g} > {tol_g}"
-    return {"values_rel": dv, "gp_rel": dgp, "gp_grads_rel": worst}
+    return worst
 
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    for dtype, tol_v, tol_g in ((jnp.float32, 2e-5, 2e-3),
-                                (jnp.bfloat16, 2e-2, 5e-2)):
-        for kernels in ("xla", "auto"):
-            r = check_critic(dtype, kernels, tol_v, tol_g)
-            print(f"PASS {jnp.dtype(dtype).name:8s} kernels={kernels:5s} "
-                  f"{r}", flush=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 16384, 1)).astype(np.float32))
+    failures = []
+    for dtype, tol_exact in ((jnp.float32, 2e-5), (jnp.bfloat16, 2e-3)):
+        name = jnp.dtype(dtype).name
+        d_ux = build(dtype, "xla", fused=False)
+        params = d_ux.init({"params": jax.random.key(0),
+                            "phase_shuffle": jax.random.key(1)}, x)
+        r_ux = run(d_ux, params, x)
+        r_fx = run(build(dtype, "xla", fused=True), params, x)
+        r_ua = run(build(dtype, "auto", fused=False), params, x)
+        r_fa = run(build(dtype, "auto", fused=True), params, x)
+
+        # (1) exactness: fused-xla == unfused-xla
+        e = {"score": rel(r_ux[0], r_fx[0]), "gp": rel(r_ux[1], r_fx[1]),
+             "grads": rel(r_ux[2], r_fx[2])}
+        ok = max(e.values()) <= tol_exact
+        print(f"[{name}] fused-xla vs unfused-xla: {e} "
+              f"{'PASS' if ok else 'FAIL'} (tol {tol_exact})", flush=True)
+        if not ok:
+            failures.append(f"{name} exactness {e}")
+
+        # (2) tier-noise floor: unfused-auto vs unfused-xla
+        floor = {"score": rel(r_ux[0], r_ua[0]), "gp": rel(r_ux[1], r_ua[1]),
+                 "grads": rel(r_ux[2], r_ua[2])}
+        print(f"[{name}] unfused-auto vs unfused-xla (noise floor): {floor}",
+              flush=True)
+
+        # (3) pallas sconv vs its xla reference, judged against the floor
+        k = {"score": rel(r_fx[0], r_fa[0]), "gp": rel(r_fx[1], r_fa[1]),
+             "grads": rel(r_fx[2], r_fa[2])}
+        lim = {m: max(4 * floor[m], tol_exact) for m in k}
+        ok = all(k[m] <= lim[m] for m in k)
+        print(f"[{name}] fused-auto vs fused-xla: {k} "
+              f"{'PASS' if ok else 'FAIL'} (lim {lim})", flush=True)
+        if not ok:
+            failures.append(f"{name} pallas {k} lim {lim}")
+
+    if failures:
+        print("sconv_hw_check: FAIL", failures, flush=True)
+        raise SystemExit(1)
     print("sconv_hw_check: ALL PASS", flush=True)
 
 

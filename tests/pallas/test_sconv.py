@@ -178,6 +178,106 @@ def test_fused_step_matches_unfused_step(rng):
                                    rtol=2e-5, atol=2e-6, err_msg=k)
 
 
+PALLAS_GEOS = [
+    # k, s, rad, cin, cout, t      (t*s etc. kept small: interpret mode)
+    (25, 4, 2, 32, 64, 128),       # flagship-shaped (r_row 0/1, r_sub 0-3)
+    (9, 4, 2, 64, 32, 64),
+    (25, 2, 2, 32, 32, 64),        # r_row up to 2
+    (7, 7, 3, 32, 32, 49),         # music stride; rad 3
+    (9, 1, 2, 32, 32, 48),         # s=1: pure row shift
+]
+
+
+@pytest.mark.parametrize("k,s,rad,cin,cout,t", PALLAS_GEOS)
+@pytest.mark.parametrize("dtype", [np.float32])
+def test_sconv1d_pallas_matches_xla(rng, k, s, rad, cin, cout, t, dtype):
+    """Pallas fused fwd (row-offset DMA + funnel) == select+conv, every
+    offset value exercised across the batch."""
+    b = 2 * rad + 2
+    xp = _mk(rng, (b, t + 2 * rad, cin), dtype)
+    w = _mk(rng, (k, cin, cout), dtype)
+    offs = jnp.asarray((np.arange(b) % (2 * rad + 1)).astype(np.int32))
+    _, lo, hi = _same_pads(t, k, s)
+    want = sconv.sconv1d_lowered(xp, w, offs, s, lo, hi, rad, impl="xla")
+    got = sconv._sconv1d_pallas(xp, w, offs, s, lo, hi, rad)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_sconv1d_pallas_bias_act(rng):
+    k, s, rad, cin, cout, t = 25, 4, 2, 32, 64, 128
+    b = 6
+    xp = _mk(rng, (b, t + 2 * rad, cin))
+    w = _mk(rng, (k, cin, cout))
+    bb = _mk(rng, (cout,))
+    offs = jnp.asarray((np.arange(b) % (2 * rad + 1)).astype(np.int32))
+    _, lo, hi = _same_pads(t, k, s)
+    want = sconv.sconv1d_ba_lowered(xp, w, bb, offs, s, lo, hi, rad,
+                                    "leaky_relu", 0.2, impl="xla")
+    got = sconv._sconv1d_pallas(xp, w, offs, s, lo, hi, rad, bias=bb,
+                                act="leaky_relu", slope=0.2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("k,s,rad,cc,co,t", [
+    (25, 4, 2, 64, 32, 128),       # flagship-shaped transpose
+    (9, 4, 2, 32, 32, 64),
+    (25, 2, 2, 32, 32, 64),
+    (7, 7, 3, 32, 32, 49),
+])
+def test_sconvt1d_pallas_matches_xla(rng, k, s, rad, cc, co, t):
+    """Pallas fused transpose (extended acc + output funnel + shifted
+    output DMA) == convt + window_place."""
+    b = 2 * rad + 2
+    _, lo, hi = _same_pads(t, k, s)
+    t_out = (t + lo + hi - k) // s + 1
+    ct = _mk(rng, (b, t_out, cc))
+    wf = _mk(rng, (k, cc, co))
+    offs = jnp.asarray((np.arange(b) % (2 * rad + 1)).astype(np.int32))
+    pad_lo_t = k - 1 - lo
+    want = sconv.sconvt1d_lowered(ct, wf, offs, s, pad_lo_t, t, rad,
+                                  impl="xla")
+    got = sconv._sconvt1d_pallas(ct, wf, offs, s, pad_lo_t, t, rad)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_sconv_pallas_gp_grads_match_xla(rng):
+    """Full fused-critic-layer GP chain on the pallas tier == xla tier:
+    exercises sconv1d fwd, its sconvt transpose, and the wgrad select."""
+    k, s, rad, cin, cout, t = 25, 4, 2, 32, 32, 256
+    b = 6
+    y = _mk(rng, (b, t, cin))
+    w = _mk(rng, (k, cin, cout))
+    bb = _mk(rng, (cout,))
+    key = jax.random.key(5)
+
+    def f(impl):
+        def g(y, w):
+            return jnp.sum(sconv.sconv1d_ba(y, w, bb, key, rad, stride=s,
+                                            act="leaky_relu", impl=impl))
+        return g
+
+    fx, fp = f("xla"), f("pallas")
+    np.testing.assert_allclose(float(fp(y, w)), float(fx(y, w)), rtol=1e-5)
+    for a, c in zip(jax.grad(fx, (0, 1))(y, w),
+                    jax.grad(fp, (0, 1))(y, w)):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=1e-4,
+                                   rtol=1e-4)
+
+    def gp(fn):
+        def inner(w):
+            g = jax.grad(lambda v: fn(v, w))(y)
+            return jnp.sum(jnp.square(g))
+        return inner
+
+    np.testing.assert_allclose(float(gp(fp)(w)), float(gp(fx)(w)), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(jax.grad(gp(fp))(w)),
+                               np.asarray(jax.grad(gp(fx))(w)),
+                               atol=1e-3, rtol=5e-4)
+
+
 def test_fused_sites_validation():
     cfg = tiny_config()
     bad = dataclasses.replace(

@@ -323,7 +323,10 @@ def wgan_gp_b64() -> Config:
         data=DataCfg(num_classes=0, device_corpus=True),
         model=ModelCfg(generator="wavegan", model_dim=64),
         loss=LossCfg(n_critic=5),
-        train=TrainCfg(batch_size=64, kernels="auto"),
+        # wgrad_form=conv: relayout-free single-conv weight-grad contraction,
+        # +2.5% step-level vs the einsum stack (r4 interleaved A/B, 6 rounds;
+        # BASELINE.md). tiny/resample keep einsum (0.976/0.990 there).
+        train=TrainCfg(batch_size=64, kernels="auto", wgrad_form="conv"),
     ).validate()
 
 
@@ -335,8 +338,9 @@ def cond_gru_sc09() -> Config:
         model=ModelCfg(generator="gru", model_dim=64,
                        gru_frame_size=64, gru_hidden=512),
         loss=LossCfg(n_critic=5),
-        # auto: fused GRU scan (1.21x on-HW) + per-geometry conv routing
-        train=TrainCfg(batch_size=64, kernels="auto"),
+        # auto: fused GRU scan (1.21x on-HW) + per-geometry conv routing;
+        # wgrad_form=conv +3.3% (r4 A/B)
+        train=TrainCfg(batch_size=64, kernels="auto", wgrad_form="conv"),
     ).validate()
 
 
@@ -348,8 +352,9 @@ def dual_stft() -> Config:
         model=ModelCfg(generator="wavegan", model_dim=64, use_stft_critic=True),
         loss=LossCfg(n_critic=5, stft_loss_weight=1.0),
         # auto: wave G/D geometry identical to the flagship (the measured
-        # routing transfers); the STFT critic's 2D convs stay XLA
-        train=TrainCfg(batch_size=64, kernels="auto"),
+        # routing transfers); the STFT critic's 2D convs stay XLA;
+        # wgrad_form=conv +2.4% (r4 A/B)
+        train=TrainCfg(batch_size=64, kernels="auto", wgrad_form="conv"),
     ).validate()
 
 
@@ -398,7 +403,11 @@ def music_44k_dp16() -> Config:
         model=ModelCfg(generator="wavegan", model_dim=64,
                        strides=(7, 7, 5, 5, 3), kernel_size=25),
         loss=LossCfg(n_critic=5),
-        train=TrainCfg(batch_size=64),
+        # wgrad_form=conv is the music preset's single biggest r4 win:
+        # +25.9% step-level (1.45 -> 1.83 steps/s dp=1, interleaved A/B) —
+        # the einsum stack's (b, rows, s*cin) relayout at t=25200 rows was
+        # the cost the r3s8 flagship profile saw, scaled up 6x.
+        train=TrainCfg(batch_size=64, wgrad_form="conv"),
         mesh=MeshCfg(dp=16, cp=1),
     ).validate()
 

@@ -242,8 +242,14 @@ def _sconv_kernel(offs_ref, x_hbm, w_ref, *rest, s, cin_blk, q_taps, t_tile,
     make_dma(b, ti, ci, slot).wait()
 
     # funnel: z[r] = concat(a[r, r_sub*c:], a[r+1, :r_sub*c]) — the sub-row
-    # part of the per-example shift, applied once per tile
+    # part of the per-example shift, applied once per tile.
+    # Mosaic's tpu.dynamic_rotate only supports 32-bit vectors (bf16 fails
+    # "Rotate with non-32-bit data", r4 HW log), so sub-32-bit tiles roll
+    # through an f32 view and cast back on the zs store — 2 extra VPU
+    # passes over a tile the matmul loop reads Q times anyway.
     a = xs[slot]
+    if a.dtype.itemsize < 4:
+        a = a.astype(jnp.float32)
     lanes = s * cin_blk
     r_sub = offs_ref[b] % s
     sh = jnp.where(r_sub == 0, 0, lanes - r_sub * cin_blk)
@@ -259,7 +265,7 @@ def _sconv_kernel(offs_ref, x_hbm, w_ref, *rest, s, cin_blk, q_taps, t_tile,
     row = lax.broadcasted_iota(jnp.int32, a.shape, 0)
     sample = (ti * t_tile + row) * s + lane // cin_blk - pad_lo
     zs[...] = jnp.where((sample >= 0) & (sample < t), z,
-                        jnp.zeros((), z.dtype))
+                        jnp.zeros((), z.dtype)).astype(zs.dtype)
 
     @pl.when(ci == 0)
     def _():

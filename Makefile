@@ -1,10 +1,18 @@
 # Convenience targets. See .claude/skills/verify/SKILL.md for env gotchas.
 
-.PHONY: test test-all native bench bench-pallas tpu-kernels tpu-fidelity \
-        tpu-session tpu-compare verify proxy clean
+.PHONY: test test-smoke test-all native bench bench-pallas tpu-kernels \
+        tpu-fidelity tpu-session tpu-compare verify proxy clean
 
 test:            ## CPU suite minus @slow (164 tests, 3m29s warm, 2026-08-17)
 	PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q -m "not slow"
+
+test-smoke:      ## cold-checkout signal in <5 min (VERDICT r3 #9): the op/
+	## kernel/data/loss layers, whose tests compile only small jit graphs.
+	## The big WGAN-GP step graphs (tests/train, tests/parallel) compile
+	## ~14 s EACH cold on this 1-core host — run `make test` after this
+	## passes (or to prime .jax_cache; warm they reload in ~1.5 s).
+	PALLAS_AXON_POOL_IPS= python -m pytest tests/ops tests/data \
+	  tests/losses tests/pallas tests/models tests/serve -q -m "not slow"
 
 test-all:        ## the whole suite including the slow subprocess tests
 	PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q

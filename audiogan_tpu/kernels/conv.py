@@ -493,216 +493,6 @@ def _convt_pallas(x, w, s, pad_lo, out_len, bias=None, act="none",
 
 
 # ---------------------------------------------------------------------------
-# weight-gradient kernel (VERDICT r2 #1b): dW as Q stacked-row matmuls
-#
-# Both convs' weight grads are the same contraction over (batch, time):
-#   conv1d:  dW_q[(r,c), o] = sum_{b,t} x_rows[b, t+q, (r,c)] ct[b, t, o]
-#   convt1d: dV_tau[c, (rho,o)] = sum_{b,m} x_pad[b, m+tau, c] ct_rows[b, m]
-# Batch is FOLDED into the contraction rows (it is summed anyway): each
-# element's rows are stacked WITH their q_taps-1 halo and the cotangent's
-# halo rows are zeroed, so one 512-row tile spans many batch elements and
-# every tap matmul keeps a t_tile-deep contraction. The Q [lanes_in,
-# lanes_out] f32 accumulators ARE the revisited output block (no separate
-# scratch — halves the VMEM high-water vs an acc+out pair).
-# ---------------------------------------------------------------------------
-
-def _wgrad_kernel(x_hbm, ct_ref, o_ref, xs, sem, *, q_taps, t_tile,
-                  rows_tile, grid_dims):
-    ci, co, r = (pl.program_id(i) for i in range(3))
-    nci, nco, nr = grid_dims
-    linear = (ci * nco + co) * nr + r
-    total = nci * nco * nr
-    slot = linear % 2
-
-    def make_dma(ci_, r_, slot_):
-        src = x_hbm.at[ci_, pl.ds(r_ * t_tile, rows_tile), :]
-        return pltpu.make_async_copy(src, xs.at[slot_], sem.at[slot_])
-
-    @pl.when(linear == 0)
-    def _():
-        make_dma(ci, r, slot).start()
-
-    nxt = linear + 1
-
-    @pl.when(nxt < total)
-    def _():
-        r_n = nxt % nr
-        ci_n = nxt // (nco * nr)
-        make_dma(ci_n, r_n, nxt % 2).start()
-
-    make_dma(ci, r, slot).wait()
-
-    @pl.when(r == 0)
-    def _():
-        o_ref[...] = jnp.zeros_like(o_ref)
-
-    ct = ct_ref[0]                                      # [t_tile, lanes_out]
-    for q in range(q_taps):                             # static unroll
-        o_ref[0, 0, q] += lax.dot_general(
-            xs[slot, pl.ds(q, t_tile), :], ct,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-
-def _wgrad_call(x_stack, ct_stack, *, n_t, t_tile, q_taps, n_ci, n_co,
-                lanes_in, lanes_out, flops, bytes_accessed):
-    """x_stack [n_ci, R_alloc, lanes_in] (batch folded into rows, haloed);
-    ct_stack [n_co, n_t*t_tile, lanes_out] (halo rows zero) ->
-    [n_ci, n_co, q_taps, lanes_in, lanes_out] f32."""
-    rows_tile = _round_up(t_tile + q_taps - 1, 16)
-    grid = (n_ci, n_co, n_t)
-    return pl.pallas_call(
-        functools.partial(_wgrad_kernel, q_taps=q_taps, t_tile=t_tile,
-                          rows_tile=rows_tile, grid_dims=grid),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),          # x rows stay in HBM
-            pl.BlockSpec((1, t_tile, lanes_out),
-                         lambda ci_, co_, r_: (co_, r_, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, q_taps, lanes_in, lanes_out),
-                               lambda ci_, co_, r_: (ci_, co_, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=_vma_sds(
-            (n_ci, n_co, q_taps, lanes_in, lanes_out), jnp.float32,
-            x_stack, ct_stack),
-        scratch_shapes=[
-            pltpu.VMEM((2, rows_tile, lanes_in), x_stack.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
-        interpret=_INTERPRET,
-    )(x_stack, ct_stack)
-
-
-def _wgrad_vmem_ok(q_taps, lanes_in, lanes_out, t_tile, itemsize) -> bool:
-    # The out block is revisited across the whole r dim, and Mosaic both
-    # pads its q_taps sublane dim to 8 and keeps a second copy while
-    # pipelining the next (ci, co) window: modelling it as a single
-    # unpadded buffer let a (q=7, 1024, 256) f32 accumulator through and
-    # the compile died with "scoped allocation 16.06M > 16.00M limit"
-    # (2026-08-18, transpose_jvp of the 512->1024 flagship D layer).
-    # Count it twice, q padded — geometries over budget route to the XLA
-    # einsum tier (which beats the kernel everywhere anyway, BASELINE.md).
-    rows_tile = _round_up(t_tile + q_taps - 1, 16)
-    need = (2 * _round_up(q_taps, 8) * lanes_in * lanes_out * 4  # out (=acc)
-            + 2 * rows_tile * lanes_in * itemsize      # x double buffer
-            + 2 * t_tile * lanes_out * itemsize)       # ct pipeline pair
-    return need <= 13 * 1024 * 1024
-
-
-def _conv1d_wgrad_pallas(x, ct, s, pad_lo, k):
-    b, t_in, cin = x.shape
-    _, t_out, cout = ct.shape
-    cin_p, cin_blk = _in_ch_blocks(cin, s)
-    cout_p = _round_up(cout, 128)
-    if cout_p > 256:
-        cout_p = _round_up(cout_p, 256)
-    cout_blk = min(cout_p, 256)
-    q_taps = _cdiv(k, s)
-    n_ci, n_co = cin_p // cin_blk, cout_p // cout_blk
-    lanes_in, lanes_out = s * cin_blk, cout_blk
-
-    rows_b = t_out + q_taps - 1
-    r_rows = b * rows_b
-    t_tile = min(_round_up(r_rows, 16), 512)
-    if not _wgrad_vmem_ok(q_taps, lanes_in, lanes_out, t_tile,
-                          x.dtype.itemsize):
-        return None                     # route to the XLA einsum tier
-    n_t = _cdiv(r_rows, t_tile)
-    rows_needed = _rows_alloc(n_t, t_tile, q_taps)
-
-    back = rows_b * s - pad_lo - t_in
-    x_sh = jnp.pad(x, ((0, 0), (pad_lo, max(back, 0)),
-                       (0, cin_p - cin)))[:, :rows_b * s]
-    xr = x_sh.reshape(b * rows_b, s, n_ci, cin_blk)
-    xr = jnp.pad(xr, ((0, rows_needed - r_rows), (0, 0), (0, 0), (0, 0)))
-    x_stack = xr.transpose(2, 0, 1, 3).reshape(n_ci, rows_needed,
-                                               lanes_in)
-
-    ctp = jnp.pad(ct, ((0, 0), (0, rows_b - t_out), (0, cout_p - cout)))
-    ctr = ctp.reshape(b * rows_b, n_co, cout_blk)
-    ctr = jnp.pad(ctr, ((0, n_t * t_tile - r_rows), (0, 0), (0, 0)))
-    ct_stack = ctr.transpose(1, 0, 2)
-
-    g = _wgrad_call(
-        x_stack, ct_stack, n_t=n_t, t_tile=t_tile, q_taps=q_taps,
-        n_ci=n_ci, n_co=n_co, lanes_in=lanes_in, lanes_out=lanes_out,
-        flops=2 * b * t_out * q_taps * s * cin * cout,
-        bytes_accessed=(n_ci * rows_needed * lanes_in * n_co
-                        + n_t * t_tile * cout_p) * x.dtype.itemsize
-        + 4 * q_taps * s * cin_p * cout_p)
-    # invert the forward tap layout: [n_ci, n_co, Q, s*cin_blk, cout_blk]
-    # -> [Q*s, cin_p, cout_p] -> trim
-    g = g.reshape(n_ci, n_co, q_taps, s, cin_blk, cout_blk)
-    g = g.transpose(2, 3, 0, 4, 1, 5).reshape(q_taps * s, cin_p, cout_p)
-    return g[:k, :cin, :cout]
-
-
-def _convt1d_wgrad_pallas(x, ct, s, pad_lo, out_len, k):
-    b, t_in, cin = x.shape
-    if out_len % s != 0:
-        return None
-    m_out = out_len // s
-    cout = ct.shape[-1]
-    cin_p = _round_up(cin, 128)
-    if cin_p > 256:
-        cin_p = _round_up(cin_p, 256)
-    cin_blk = min(cin_p, 256)
-    cout_p, cout_blk = _in_ch_blocks(
-        cout, s, blk_cap=max(1024 // s // 128, 1) * 128)
-    n_ci, n_co = cin_p // cin_blk, cout_p // cout_blk
-    lanes_in, lanes_out = cin_blk, s * cout_blk
-
-    q_min, q_taps = _convt_phase_range(k, s, pad_lo)
-    rows_b = m_out + q_taps - 1
-    r_rows = b * rows_b
-    t_tile = min(_round_up(r_rows, 16), 512)
-    if not _wgrad_vmem_ok(q_taps, lanes_in, lanes_out, t_tile,
-                          x.dtype.itemsize):
-        return None
-    n_t = _cdiv(r_rows, t_tile)
-    rows_needed = _rows_alloc(n_t, t_tile, q_taps)
-
-    back = rows_b + q_min - t_in
-    if back < 0:
-        x, back = x[:, :t_in + back], 0
-    x_pad = jnp.pad(x, ((0, 0), (-q_min, back), (0, cin_p - cin)))
-    xr = x_pad.reshape(b * rows_b, n_ci, cin_blk)
-    xr = jnp.pad(xr, ((0, rows_needed - r_rows), (0, 0), (0, 0)))
-    x_stack = xr.transpose(1, 0, 2)
-
-    ctr = ct.reshape(b, m_out, s, cout)
-    ctr = jnp.pad(ctr, ((0, 0), (0, rows_b - m_out), (0, 0),
-                        (0, cout_p - cout)))
-    ctr = ctr.reshape(b * rows_b, s, n_co, cout_blk)
-    ctr = jnp.pad(ctr, ((0, n_t * t_tile - r_rows), (0, 0), (0, 0),
-                        (0, 0)))
-    ct_stack = ctr.transpose(2, 0, 1, 3).reshape(n_co, n_t * t_tile,
-                                                 lanes_out)
-
-    g = _wgrad_call(
-        x_stack, ct_stack, n_t=n_t, t_tile=t_tile, q_taps=q_taps,
-        n_ci=n_ci, n_co=n_co, lanes_in=lanes_in, lanes_out=lanes_out,
-        flops=2 * b * m_out * q_taps * s * cin * cout,
-        bytes_accessed=(n_ci * rows_needed * lanes_in * n_co
-                        + n_t * t_tile * s * cout_p) * x.dtype.itemsize
-        + 4 * q_taps * cin_p * s * cout_p)
-    # dV [Q, cin_p, s, cout_p] -> scatter phases back onto tap indices
-    dv = g.reshape(n_ci, n_co, q_taps, cin_blk, s, cout_blk)
-    dv = dv.transpose(2, 0, 3, 4, 1, 5).reshape(q_taps, cin_p, s, cout_p)
-    j = np.arange(k)
-    rho_j = (pad_lo - j) % s
-    tau_j = (j - pad_lo + rho_j) // s - q_min
-    return dv[tau_j, :cin, rho_j, :cout]
-
-
-# ---------------------------------------------------------------------------
 # lowerings used by kernels.primitives + public API
 # ---------------------------------------------------------------------------
 
@@ -876,17 +666,14 @@ def convt1d_ba_lowered(x, w, bias, stride, pad_lo, out_len, act, slope,
 # weight-grad lowerings (audiogan_conv1d_wgrad / convt1d_wgrad)
 # ---------------------------------------------------------------------------
 
-def _auto_wgrad_impl(b: int, rows: int, cin: int, cout: int) -> str:
-    """Tier choice for the weight-grad contraction (impl="auto").
-    Measured 2026-08-17 (scripts/kernel_bench.py --parts dw, bf16): the
-    Pallas wgrad kernels LOSE to the phase-grouped XLA einsum stack at
-    every flagship geometry (ratios 1.06-1.28) and every music geometry
-    (1.05-1.99), and routing them under auto dragged the step-level auto
-    tier from 1.00x to 0.97x vs xla (10-round interleaved compare).
-    auto therefore keeps the einsum stack; the kernels remain reachable
-    under the uniform --kernels pallas tier."""
-    return "xla"
-
+# There is deliberately NO Pallas weight-grad kernel (cut round 4, was
+# VERDICT r2 #1b): measured 2026-08-17 (scripts/kernel_bench.py --parts
+# dw, bf16) the stacked-row-matmul kernels LOST to the XLA forms at every
+# trained geometry (1.06-1.28 flagship, 1.05-1.99 music), and round 4
+# showed the real lever is the XLA contraction FORM (einsum vs single
+# conv, train.wgrad_form — +2.5% flagship / +25.9% music). Every tier,
+# including uniform --kernels pallas, routes wgrad to the XLA form below;
+# code + measured reasons archived in attic/NOTES.md (git efd6029).
 
 _WGRAD_FORM = _os.environ.get("AUDIOGAN_WGRAD_FORM", "einsum")
 # XLA-tier wgrad contraction form: "einsum" = the phase-grouped einsum
@@ -1023,29 +810,15 @@ def _convt1d_wgrad_einsum(x, ct, s, pad_lo, out_len, k):
 
 def conv1d_wgrad_lowered(x, ct, stride, pad_lo, pad_hi, k, impl):
     """dW of conv1d w.r.t. its kernel: [B,T,Cin] x [B,T',Cout] ->
-    [K,Cin,Cout] (x.dtype). Pallas tier: batch-folded stacked-row matmuls
-    (VERDICT r2 #1b); XLA tier: phase-grouped einsum stack."""
-    b, _, cin = x.shape
-    t_out, cout = ct.shape[1], ct.shape[-1]
-    if impl == "auto":
-        impl = _auto_wgrad_impl(b, b * t_out, cin, cout)
-    if impl == "pallas" and min(cin, cout) >= MIN_CH:
-        g = _conv1d_wgrad_pallas(x, ct, stride, pad_lo, k)
-        if g is not None:
-            return g.astype(x.dtype)
+    [K,Cin,Cout] (x.dtype) via the XLA form selected by train.wgrad_form
+    (einsum stack | single conv; no Pallas tier — cut r4, note above)."""
+    del impl  # every tier uses the XLA form (see note above)
     return _conv1d_wgrad_xla(x, ct, stride, pad_lo, k).astype(x.dtype)
 
 
 def convt1d_wgrad_lowered(x, ct, stride, pad_lo, out_len, k, impl):
     """dW of conv_transpose1d w.r.t. its kernel -> [K,Cin,Cout]."""
-    b, _, cin = x.shape
-    cout = ct.shape[-1]
-    if impl == "auto":
-        impl = _auto_wgrad_impl(b, b * (out_len // stride), cin, cout)
-    if impl == "pallas" and min(cin, cout) >= MIN_CH:
-        g = _convt1d_wgrad_pallas(x, ct, stride, pad_lo, out_len, k)
-        if g is not None:
-            return g.astype(x.dtype)
+    del impl  # every tier uses the XLA form (see note above)
     return _convt1d_wgrad_xla(x, ct, stride, pad_lo, out_len, k).astype(
         x.dtype)
 

@@ -111,7 +111,11 @@ def sconv1d_lowered(xp, w, offs, stride, pad_lo, pad_hi, rad, impl):
         return _sconv1d_pallas(xp, w, offs, stride, pad_lo, pad_hi, rad)
     t = xp.shape[1] - 2 * rad
     z = window_select(xp, offs, t, rad)
-    return conv1d_lowered(z, w, stride, pad_lo, pad_hi, impl="xla")
+    # Thread the ambient tier through to the consuming conv: hardcoding
+    # impl="xla" here cost fused sites the winning Pallas convT band on
+    # their AD-transpose path (r4 batch 2b: fused-all was 1.073 under
+    # uniform xla but 1.000 under auto — the band loss ate the fusion win).
+    return conv1d_lowered(z, w, stride, pad_lo, pad_hi, impl=impl)
 
 
 def sconv1d_ba_lowered(xp, w, b, offs, stride, pad_lo, pad_hi, rad, act,
@@ -122,7 +126,7 @@ def sconv1d_ba_lowered(xp, w, b, offs, stride, pad_lo, pad_hi, rad, act,
     t = xp.shape[1] - 2 * rad
     z = window_select(xp, offs, t, rad)
     return conv1d_ba_lowered(z, w, b, stride, pad_lo, pad_hi, act, slope,
-                             impl="xla")
+                             impl=impl)  # ambient tier (see sconv1d_lowered)
 
 
 def sconvt1d_lowered(ct, wf, offs, stride, pad_lo_t, t, rad, impl):
@@ -138,7 +142,7 @@ def sconvt1d_lowered(ct, wf, offs, stride, pad_lo_t, t, rad, impl):
         "pallas" if t // stride >= _AUTO_SCONVT_MIN else "xla")
     if ok and use == "pallas":
         return _sconvt1d_pallas(ct, wf, offs, stride, pad_lo_t, t, rad)
-    u = convt1d_lowered(ct, wf, stride, pad_lo_t, t, impl="xla")
+    u = convt1d_lowered(ct, wf, stride, pad_lo_t, t, impl=impl)
     return window_place(u, offs, rad)
 
 
@@ -206,7 +210,8 @@ def _fit_tile(t_tile: int, q_taps: int, lanes_in: int, lanes_out: int,
 
 
 def _sconv_kernel(offs_ref, x_hbm, w_ref, *rest, s, cin_blk, q_taps, t_tile,
-                  rows_tile, grid_dims, act, slope, has_bias, pad_lo, t):
+                  rows_tile, r_row_max, grid_dims, act, slope, has_bias,
+                  pad_lo, t):
     """Fused-shuffle rowconv body (see kc._rowconv_kernel for the base
     pipeline: double-buffered haloed DMA + Q shifted matmuls + persistent
     f32 accumulator + fused epilogue)."""
@@ -221,8 +226,12 @@ def _sconv_kernel(offs_ref, x_hbm, w_ref, *rest, s, cin_blk, q_taps, t_tile,
     slot = linear % 2
 
     def make_dma(b_, ti_, ci_, slot_):
-        r_row = offs_ref[b_] // s               # whole-row part of the shift
-        src = x_hbm.at[b_, ci_, pl.ds(ti_ * t_tile + r_row, rows_tile), :]
+        # ALIGNED start: a dynamic (offs-dependent) row offset here fails
+        # Mosaic's sublane-divisibility proof ("tile index in dimension 2
+        # is divisible by the tiling (8)", r4 HW log). The whole-row part
+        # of the shift is applied in VMEM below instead; rows_tile carries
+        # r_row_max extra halo rows to cover it.
+        src = x_hbm.at[b_, ci_, pl.ds(ti_ * t_tile, rows_tile), :]
         return pltpu.make_async_copy(src, xs.at[slot_], sem.at[slot_])
 
     @pl.when(linear == 0)
@@ -250,6 +259,18 @@ def _sconv_kernel(offs_ref, x_hbm, w_ref, *rest, s, cin_blk, q_taps, t_tile,
     a = xs[slot]
     if a.dtype.itemsize < 4:
         a = a.astype(jnp.float32)
+    # whole-row part of the shift (r_row = offs//s): select over the
+    # r_row_max+1 statically-rolled copies — roll amounts must be static
+    # on the 8-tiled sublane dim (and the aligned DMA above requires the
+    # shift to happen here). r_row_max is 0 or 1 at every shipped
+    # geometry, so this is at most ONE extra VPU pass.
+    if r_row_max:
+        r_row = offs_ref[b] // s
+        sel_a = a
+        for rr in range(1, r_row_max + 1):
+            cand = pltpu.roll(a, rows_tile - rr, axis=0)   # row r <- a[r+rr]
+            sel_a = jnp.where(r_row == rr, cand, sel_a)
+        a = sel_a
     lanes = s * cin_blk
     r_sub = offs_ref[b] % s
     sh = jnp.where(r_sub == 0, 0, lanes - r_sub * cin_blk)
@@ -300,11 +321,13 @@ def _sconv1d_pallas(xp, w, offs, stride, pad_lo, pad_hi, rad,
     r_row_max = (2 * rad) // s
 
     t_tile = _fit_tile(min(_round_up(t_out, 16), kc._T_TILE_CAP), q_taps,
-                       s * cin_blk, cout_blk, xp.dtype.itemsize, 0)
+                       s * cin_blk, cout_blk, xp.dtype.itemsize, r_row_max)
     n_t = _cdiv(t_out, t_tile)
-    # +1 halo row over the plain conv (the funnel reads row r+1)
-    rows_tile = _round_up(t_tile + q_taps, 16)
-    rows_needed = (n_t - 1) * t_tile + rows_tile + r_row_max
+    # +1 halo row over the plain conv (the funnel reads row r+1), plus
+    # r_row_max rows so the ALIGNED tile DMA covers the largest whole-row
+    # shift (applied in VMEM — see _sconv_kernel)
+    rows_tile = _round_up(t_tile + q_taps + r_row_max, 16)
+    rows_needed = (n_t - 1) * t_tile + rows_tile
     pad_back = rows_needed * s - pad_lo - tp
     xq = jnp.pad(xp, ((0, 0), (pad_lo, max(pad_back, 0)),
                       (0, cin_p - cin)))[:, :rows_needed * s]
@@ -336,8 +359,9 @@ def _sconv1d_pallas(xp, w, offs, stride, pad_lo, pad_hi, rad,
     out = pl.pallas_call(
         functools.partial(_sconv_kernel, s=s, cin_blk=cin_blk,
                           q_taps=q_taps, t_tile=t_tile, rows_tile=rows_tile,
-                          grid_dims=grid, act=act, slope=slope,
-                          has_bias=bias is not None, pad_lo=pad_lo, t=t),
+                          r_row_max=r_row_max, grid_dims=grid, act=act,
+                          slope=slope, has_bias=bias is not None,
+                          pad_lo=pad_lo, t=t),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, t_tile, cout_blk),
@@ -369,7 +393,7 @@ def _sconv1d_pallas(xp, w, offs, stride, pad_lo, pad_hi, rad,
 
 def _sconvt_kernel(offs_ref, x_hbm, w_ref, o_hbm, xs, acc, obuf, sem, sem_o,
                    *, s, co_blk, q_taps, t_tile, t_ext, rows_tile,
-                   grid_dims):
+                   r_row_max, grid_dims):
     b, ti, co, ci = (pl.program_id(i) for i in range(4))
     nb, nt, nco, nci = grid_dims
     total = nb * nt * nco * nci
@@ -410,22 +434,40 @@ def _sconvt_kernel(offs_ref, x_hbm, w_ref, o_hbm, xs, acc, obuf, sem, sem_o,
     lanes = av.shape[-1]
 
     def make_odma(b_, ti_, co_, slot_):
-        r_row = offs_ref[b_] // s
-        dst = o_hbm.at[b_, co_, pl.ds(ti_ * t_tile + r_row, t_tile), :]
+        # ALIGNED destination (same Mosaic sublane-divisibility constraint
+        # as the fwd input DMA): the whole-row part of the place() shift
+        # is folded into the funnel rolls below instead of the DMA start.
+        dst = o_hbm.at[b_, co_, pl.ds(ti_ * t_tile, t_tile), :]
         return pltpu.make_async_copy(obuf.at[slot_], dst, sem_o.at[slot_])
 
     @pl.when(ci == nci - 1)
     def _():
-        # place(): funnel the accumulator by the sub-row shift. acc row j
-        # holds u row ti*t_tile + j - 1; output row M = ti*t_tile + r_row
-        # + m takes lanes >= r_sub*c from u row M - r_row (= acc[m+1]) and
-        # the rest from u row M - r_row - 1 (= acc[m]).
+        # place(): funnel the accumulator by the WHOLE shift. acc row j
+        # holds u row ti*t_tile + j - 1 - r_row_max (the caller's `front`
+        # carries r_row_max extra leading rows); output row
+        # M = ti*t_tile + m takes lanes >= r_sub*c from u row M - r_row
+        # (= acc[m + 1 + r_row_max - r_row]) and the rest from u row
+        # M - r_row - 1 (= acc[m + r_row_max - r_row]). The row offsets
+        # are dynamic in r_row, and sublane rolls must be static — select
+        # over the r_row_max+1 statically-rolled candidates (r_row_max is
+        # 0 or 1 at every shipped geometry; at 0 this reduces to exactly
+        # one static roll + no select).
         r_sub = offs_ref[b] % s
+        r_row = offs_ref[b] // s
         sh = r_sub * co_blk
         rf = pltpu.roll(av, sh, axis=1)
-        hi = pltpu.roll(rf, t_ext - 1, axis=0)  # rf[m+1] into row m
+
+        def shifted(d):                         # row m <- rf[m + d]
+            return pltpu.roll(rf, (t_ext - d) % t_ext, axis=0) if d else rf
+
+        hi = shifted(1 + r_row_max)
+        lo = shifted(r_row_max)
+        for rr in range(1, r_row_max + 1):
+            sel = r_row == rr
+            hi = jnp.where(sel, shifted(1 + r_row_max - rr), hi)
+            lo = jnp.where(sel, shifted(r_row_max - rr), lo)
         lane = lax.broadcasted_iota(jnp.int32, rf.shape, 1)
-        o = jnp.where(lane >= sh, hi, rf)[:t_tile]
+        o = jnp.where(lane >= sh, hi, lo)[:t_tile]
         o_step = (b * nt + ti) * nco + co
         slot_o = o_step % 2
 
@@ -465,14 +507,20 @@ def _sconvt1d_pallas(ct, wf, offs, stride, pad_lo_t, t, rad):
     r_row_max = (2 * rad) // s
 
     q_min, q_taps = _convt_phase_range(k, s, pad_lo_t)
-    # write m_out+1 rows per example: a sub-row shift spills one row
-    t_tile = _fit_tile(min(_round_up(m_out + 1, 16), kc._T_TILE_CAP),
+    # ALIGNED writes cover every row up to ceil((t+2rad)/s): the shift no
+    # longer moves the DMA window, so the tiles themselves must span the
+    # shifted tail (music: 2rad > s, one extra row past m_out+1)
+    rows_out = _cdiv(t + 2 * rad, s)
+    t_tile = _fit_tile(min(_round_up(rows_out, 16), kc._T_TILE_CAP),
                        q_taps, cc_blk, lanes_out, ct.dtype.itemsize, 16)
-    n_t = _cdiv(m_out + 1, t_tile)
-    t_ext = t_tile + 16                 # one leading overlap row (aligned)
+    n_t = _cdiv(rows_out, t_tile)
+    t_ext = t_tile + 16                 # leading overlap rows (aligned);
+                                        # 1 + r_row_max of the 16 are used
     rows_tile = _round_up(t_ext + q_taps - 1, 16)
     rows_needed = (n_t - 1) * t_tile + rows_tile
-    front = -q_min + 1                  # +1: acc row j = u row base + j - 1
+    # acc row j = u row base + j - 1 - r_row_max (funnel reads back up to
+    # r_row_max+1 rows for the whole-row shift)
+    front = -q_min + 1 + r_row_max
     pad_back = rows_needed - front - t_in
     if pad_back < 0:
         ct, t_in, pad_back = ct[:, :t_in + pad_back], t_in + pad_back, 0
@@ -487,12 +535,12 @@ def _sconvt1d_pallas(ct, wf, offs, stride, pad_lo_t, t, rad):
     w_taps = v.transpose(1, 4, 0, 2, 3, 5).reshape(
         n_ci, n_co, q_taps, cc_blk, lanes_out)
 
-    r_alloc = n_t * t_tile + r_row_max
+    r_alloc = n_t * t_tile
     grid = (b, n_t, n_co, n_ci)
     out = pl.pallas_call(
         functools.partial(_sconvt_kernel, s=s, co_blk=co_blk, q_taps=q_taps,
                           t_tile=t_tile, t_ext=t_ext, rows_tile=rows_tile,
-                          grid_dims=grid),
+                          r_row_max=r_row_max, grid_dims=grid),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # offs [B]
@@ -527,7 +575,8 @@ def _sconvt1d_pallas(ct, wf, offs, stride, pad_lo_t, t, rad):
     out = out.transpose(0, 2, 3, 1, 4).reshape(b, r_alloc * s, n_co * co_blk)
     out = out[:, :t + 2 * rad, :co]
     # live-window mask: place() is zero outside [off, off+t); this also
-    # zeroes the rows the shifted DMA never wrote (fused into the unpack)
+    # zeroes the tile-edge rows whose funnel candidates wrapped (fused
+    # into the unpack)
     pos = jnp.arange(t + 2 * rad, dtype=jnp.int32)[None, :, None]
     o = offs[:, None, None]
     return jnp.where((pos >= o) & (pos < o + t), out,

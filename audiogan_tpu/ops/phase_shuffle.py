@@ -27,33 +27,17 @@ from jax import lax
 # can flip it per-variant (scripts/step_ab.py gvar: syntax).
 _SELECT_IMPL = 1
 
-# Top-level tier for the unsharded op: "select" = the XLA forms (gather vs
-# select sub-choice via _SELECT_IMPL above); "pallas" forces the
-# single-HBM-pass kernel pair (kernels/shuffle.py — minimal data movement
-# in isolation, exact same values incl. 1st/2nd-order grads on HW);
-# "auto" routes to pallas on TPU when the geometry fits VMEM. Default is
-# SELECT: the kernel is bit-exact but LOSES at step level on every preset
-# (r3s7 interleaved A/Bs 2026-08-18: 0.951 flagship / 0.944 cond_gru /
-# 0.965 dual / 0.875 tiny / 0.941 music vs select) — the standalone
-# pallas_call is a fusion barrier on both sides of an op XLA otherwise
-# blends into neighbors, and its custom-transpose vjp is another. Module
-# global for step-level A/Bs (scripts/step_ab.py gvar: syntax).
-_IMPL = "select"
-
-
-def _route(t: int, rad: int, c: int, itemsize: int, impl: str) -> str:
-    if impl == "auto":
-        # measured: the standalone kernel loses at step level everywhere
-        # (r3s7) — auto IS the select form
-        impl = "select"
-    if impl == "pallas":
-        from audiogan_tpu.kernels import shuffle as ks
-        on_tpu = ks._INTERPRET or jax.default_backend() == "tpu"
-        if not (on_tpu and ks.supported(t, rad, c, itemsize)):
-            impl = "select"
-    return impl
-
-
+# There is deliberately NO standalone Pallas shuffle kernel (cut round 4):
+# the single-HBM-pass kernel pair was bit-exact compiled on HW (values /
+# vjp / 2nd-order, f32+bf16) but LOST at step level on every preset (r3s7
+# interleaved A/Bs 2026-08-18: 0.951 flagship / 0.944 cond_gru / 0.965
+# dual / 0.875 tiny / 0.941 music vs select) — a standalone pallas_call
+# is a fusion barrier on both sides of an op XLA otherwise blends into
+# the neighboring elementwise streams, and its custom-transpose vjp is
+# another. The TPU-tier answer is kernels/sconv.py, which fuses the
+# shuffle into the conv that CONSUMES it (ModelCfg.fused_shuffle_sites)
+# instead of building a better standalone op. Code + measured reasons
+# archived in attic/NOTES.md (git efd6029).
 def _apply_shifts(xp: jnp.ndarray, shifts: jnp.ndarray, t: int,
                   rad: int) -> jnp.ndarray:
     """Slice [B, t+2·rad, C] -> [B, t, C] at per-example offset rad-shift.
@@ -90,20 +74,16 @@ def phase_shuffle(x: jnp.ndarray, key: jax.Array, rad: int,
     _SELECT_IMPL=0 for the vmap'd-dynamic_slice gather form (same values
     exactly).
 
-    impl: None -> the module default (_IMPL); "pallas" -> the
-    kernels/shuffle.py single-pass kernel where the geometry fits VMEM
-    (select otherwise); "select"/"xla"/"auto" -> the select form. The
-    model's conv-kernel tier threads through here so uniform
-    `--kernels pallas` exercises the kernel (it loses at step level —
-    r3s7, BASELINE.md — so "auto" routes to select).
+    impl: accepted for call-site compatibility (the model's kernel tier
+    threads through here) and ignored — every tier uses the select form;
+    the standalone Pallas kernel was cut in round 4 (note above). The
+    Pallas-tier shuffle lives in kernels/sconv.py, fused into the
+    consuming conv.
     """
+    del impl
     if rad == 0:
         return x
     b, t, c = x.shape
     shifts = jax.random.randint(key, (b,), -rad, rad + 1)
-    if _route(t, rad, c, x.dtype.itemsize,
-              _IMPL if impl is None else impl) == "pallas":
-        from audiogan_tpu.kernels.shuffle import pshuf_prim
-        return pshuf_prim(x, (rad - shifts).astype(jnp.int32), rad=rad)
     xp = jnp.pad(x, ((0, 0), (rad, rad), (0, 0)), mode="reflect")
     return _apply_shifts(xp, shifts, t, rad)

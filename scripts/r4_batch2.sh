@@ -27,4 +27,18 @@ timeout 3600 python scripts/step_ab.py --preset dual_stft \
   --variant "fusedall=$F=-1" \
   --rounds 4 --steps 10
 
+# (d) XLA-tier isolation: the sconv XLA lowering replaces the select form's
+#     2*rad+2 elementwise traversals with mask_reflect_pad's 2 — measure
+#     that alone, with the Pallas bands out of the picture.
+timeout 3600 python scripts/step_ab.py --preset wgan_gp_b64 \
+  --variant "xbase=train.kernels=xla" \
+  --variant "xfused=train.kernels=xla;$F=-1" \
+  --rounds 4 --steps 10
+
+# (e) music dp=1: select_n was 7.4% of the 682 ms step in the r4 profile
+timeout 3600 python scripts/step_ab.py --preset music_44k_dp16 \
+  --variant "base=mesh.dp=1" \
+  --variant "fusedall=mesh.dp=1;$F=-1" \
+  --rounds 3 --steps 6
+
 echo "===== r4_batch2 done ====="

@@ -11,7 +11,15 @@ Three comparisons, each against the right reference:
    auto band routes convT to Pallas) — measured, not asserted, and used to
    scale what (3) may show.
 3. fused-auto vs fused-xla: the Pallas sconv kernels against their XLA
-   reference — must sit within ~the (2) noise floor.
+   reference — judged by PRECISION DOMINANCE, not a fixed tolerance: TPU
+   f32 matmuls run at DEFAULT precision (bf16 passes), so two
+   algebraically-identical lowerings legitimately differ by the
+   default-vs-highest precision spread. The layer-level adjudicator
+   (scripts/sconv_layer_check.py, r4 batch 3 on HW) pinned the kernels to
+   default-precision XLA at 2e-7 (f32) while highest-precision XLA sits
+   2e-3 from BOTH — so the witness compares the pallas-vs-xla delta
+   against the measured highest-vs-default spread of the same graph
+   (plus the cross-tier floor from (2)).
 
 Run (TPU): PYTHONPATH=/root/repo:$PYTHONPATH python scripts/sconv_hw_check.py
 """
@@ -70,9 +78,12 @@ def main():
         params = d_ux.init({"params": jax.random.key(0),
                             "phase_shuffle": jax.random.key(1)}, x)
         r_ux = run(d_ux, params, x)
-        r_fx = run(build(dtype, "xla", fused=True), params, x)
+        d_fx = build(dtype, "xla", fused=True)
+        r_fx = run(d_fx, params, x)
         r_ua = run(build(dtype, "auto", fused=False), params, x)
         r_fa = run(build(dtype, "auto", fused=True), params, x)
+        with jax.default_matmul_precision("highest"):
+            r_fh = run(d_fx, params, x)
 
         # (1) exactness: fused-xla == unfused-xla
         e = {"score": rel(r_ux[0], r_fx[0]), "gp": rel(r_ux[1], r_fx[1]),
@@ -89,10 +100,19 @@ def main():
         print(f"[{name}] unfused-auto vs unfused-xla (noise floor): {floor}",
               flush=True)
 
-        # (3) pallas sconv vs its xla reference, judged against the floor
+        # (3a) the precision spread of the SAME graph: fused-xla at
+        # highest matmul precision vs at default — the legitimate
+        # difference between two algebraically-identical f32 lowerings
+        spread = {"score": rel(r_fx[0], r_fh[0]), "gp": rel(r_fx[1], r_fh[1]),
+                  "grads": rel(r_fx[2], r_fh[2])}
+        print(f"[{name}] fused-xla highest-vs-default precision spread: "
+              f"{spread}", flush=True)
+
+        # (3) pallas sconv vs its xla reference: dominated by the
+        # precision spread (+ the cross-tier floor)
         k = {"score": rel(r_fx[0], r_fa[0]), "gp": rel(r_fx[1], r_fa[1]),
              "grads": rel(r_fx[2], r_fa[2])}
-        lim = {m: max(4 * floor[m], tol_exact) for m in k}
+        lim = {m: max(4 * floor[m], 4 * spread[m], tol_exact) for m in k}
         ok = all(k[m] <= lim[m] for m in k)
         print(f"[{name}] fused-auto vs fused-xla: {k} "
               f"{'PASS' if ok else 'FAIL'} (lim {lim})", flush=True)

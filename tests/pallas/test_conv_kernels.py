@@ -169,8 +169,6 @@ def test_auto_router_bands():
     assert kc._auto_convt1d_impl(64, 256, 256, 128, 4) == "pallas"
     assert kc._auto_convt1d_impl(64, 16, 1024, 512, 4) == "xla"  # tiny grid
     assert kc._auto_convt1d_impl(64, 2352, 256, 128, 5) == "xla"  # music
-    # wgrad: the Pallas kernels lose at every measured geometry -> XLA
-    assert kc._auto_wgrad_impl(64, 64 * 256, 128, 256) == "xla"
     # generation-regime batches (sampler A/B 2026-08-17: xla wins every
     # layer at b >= 512) -> XLA even in the otherwise-pallas bands
     assert kc._auto_conv1d_impl(4096, 256, 128, 256, 4) == "xla"

@@ -184,12 +184,14 @@ PALLAS_GEOS = [
     (9, 4, 2, 64, 32, 64),
     (25, 2, 2, 32, 32, 64),        # r_row up to 2
     (7, 7, 3, 32, 32, 49),         # music stride; rad 3
+    (25, 3, 2, 32, 32, 66),        # music s=3: 2*rad > s (shift spills a
+                                   # row past m_out+1 — aligned-DMA tail)
     (9, 1, 2, 32, 32, 48),         # s=1: pure row shift
 ]
 
 
 @pytest.mark.parametrize("k,s,rad,cin,cout,t", PALLAS_GEOS)
-@pytest.mark.parametrize("dtype", [np.float32])
+@pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
 def test_sconv1d_pallas_matches_xla(rng, k, s, rad, cin, cout, t, dtype):
     """Pallas fused fwd (row-offset DMA + funnel) == select+conv, every
     offset value exercised across the batch."""
@@ -200,8 +202,10 @@ def test_sconv1d_pallas_matches_xla(rng, k, s, rad, cin, cout, t, dtype):
     _, lo, hi = _same_pads(t, k, s)
     want = sconv.sconv1d_lowered(xp, w, offs, s, lo, hi, rad, impl="xla")
     got = sconv._sconv1d_pallas(xp, w, offs, s, lo, hi, rad)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=1e-4, rtol=1e-4)
+    tol = 5e-2 if dtype == jnp.bfloat16 else 1e-4  # bf16 accumulates f32,
+    np.testing.assert_allclose(                    # but inputs are bf16
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=tol, rtol=tol)
 
 
 def test_sconv1d_pallas_bias_act(rng):
@@ -225,6 +229,7 @@ def test_sconv1d_pallas_bias_act(rng):
     (9, 4, 2, 32, 32, 64),
     (25, 2, 2, 32, 32, 64),
     (7, 7, 3, 32, 32, 49),
+    (25, 3, 2, 32, 32, 24),
 ])
 def test_sconvt1d_pallas_matches_xla(rng, k, s, rad, cc, co, t):
     """Pallas fused transpose (extended acc + output funnel + shifted

@@ -321,7 +321,14 @@ def wgan_gp_b64() -> Config:
     return Config(
         name="wgan_gp_b64",
         data=DataCfg(num_classes=0, device_corpus=True),
-        model=ModelCfg(generator="wavegan", model_dim=64),
+        # fused_shuffle_sites=1: the FIRST shuffle site (the t=4096 one,
+        # where the shifted tensor is largest) rides its consuming conv
+        # (kernels/sconv.py): +3.7% step-level vs unfused, and fusing ALL
+        # sites loses 0.8% back (fx1/fxla pairwise A/Bs, r4 batch 4;
+        # BASELINE.md) — the deeper sites' tensors are small enough that
+        # the extra reflect-pad masks cost more than the select they save.
+        model=ModelCfg(generator="wavegan", model_dim=64,
+                       fused_shuffle_sites=1),
         loss=LossCfg(n_critic=5),
         # wgrad_form=conv: relayout-free single-conv weight-grad contraction,
         # +2.5% step-level vs the einsum stack (r4 interleaved A/B, 6 rounds;
@@ -335,8 +342,12 @@ def cond_gru_sc09() -> Config:
     return Config(
         name="cond_gru_sc09",
         data=DataCfg(num_classes=10, device_corpus=True),
+        # fused_shuffle_sites=-1: +1.9% (r4 batch-3 A/B; 1.028 pre-
+        # passthrough-fix). fx1-vs-fxla pairwise pending (batch 5) — the
+        # flagship's identical critic preferred fx1 by 0.8%.
         model=ModelCfg(generator="gru", model_dim=64,
-                       gru_frame_size=64, gru_hidden=512),
+                       gru_frame_size=64, gru_hidden=512,
+                       fused_shuffle_sites=-1),
         loss=LossCfg(n_critic=5),
         # auto: fused GRU scan (1.21x on-HW) + per-geometry conv routing;
         # wgrad_form=conv +3.3% (r4 A/B)
@@ -349,7 +360,11 @@ def dual_stft() -> Config:
     return Config(
         name="dual_stft",
         data=DataCfg(num_classes=0, device_corpus=True),
-        model=ModelCfg(generator="wavegan", model_dim=64, use_stft_critic=True),
+        # fused_shuffle_sites=1 (wave critic): +2.9% vs unfused, all-sites
+        # only +1.0% (r4 batch-3 A/B — same shape of verdict as the
+        # flagship's; the STFT critic has no shuffle sites)
+        model=ModelCfg(generator="wavegan", model_dim=64, use_stft_critic=True,
+                       fused_shuffle_sites=1),
         loss=LossCfg(n_critic=5, stft_loss_weight=1.0),
         # auto: wave G/D geometry identical to the flagship (the measured
         # routing transfers); the STFT critic's 2D convs stay XLA;
@@ -400,8 +415,12 @@ def music_44k_dp16() -> Config:
                      # otherwise (falls back to the host batcher with a
                      # warning when the packed corpus exceeds 8 GiB)
                      num_classes=0),
+        # fused_shuffle_sites=-1: every site fused (+1.1%, r4 batch-2 A/B
+        # at dp=1 — the t=25200 select_n was 7.4% of the music profile;
+        # the all-xla router makes tier passthrough a no-op here)
         model=ModelCfg(generator="wavegan", model_dim=64,
-                       strides=(7, 7, 5, 5, 3), kernel_size=25),
+                       strides=(7, 7, 5, 5, 3), kernel_size=25,
+                       fused_shuffle_sites=-1),
         loss=LossCfg(n_critic=5),
         # wgrad_form=conv is the music preset's single biggest r4 win:
         # +25.9% step-level (1.45 -> 1.83 steps/s dp=1, interleaved A/B) —

@@ -675,7 +675,8 @@ def convt1d_ba_lowered(x, w, bias, stride, pad_lo, out_len, act, slope,
 # including uniform --kernels pallas, routes wgrad to the XLA form below;
 # code + measured reasons archived in attic/NOTES.md (git efd6029).
 
-_WGRAD_FORM = _os.environ.get("AUDIOGAN_WGRAD_FORM", "einsum")
+_WGRAD_FORM_DEFAULT = _os.environ.get("AUDIOGAN_WGRAD_FORM", "einsum")
+_WGRAD_FORM = _WGRAD_FORM_DEFAULT
 # XLA-tier wgrad contraction form: "einsum" = the phase-grouped einsum
 # stack below (requires a physical (b,rows,s*cin) lane relayout — ~4 ms
 # of the flagship step's reshape bucket, profile r3s8); "conv" = a single
@@ -692,11 +693,15 @@ _WGRAD_FORM = _os.environ.get("AUDIOGAN_WGRAD_FORM", "einsum")
 def set_wgrad_form(form: str) -> None:
     """Select the XLA-tier wgrad contraction form ("einsum" | "conv").
 
-    Called by the step builders with TrainCfg.wgrad_form; "" leaves the
-    process default (env AUDIOGAN_WGRAD_FORM, else "einsum") untouched.
+    Called by the step builders with TrainCfg.wgrad_form; "" RESETS to
+    the process default (env AUDIOGAN_WGRAD_FORM, else "einsum") — it
+    must not inherit whatever a previous step build in the same process
+    set, or bench --preset all would silently bench resample_22k with
+    the flagship's "conv" form (its own A/B measured einsum better).
     Affects tracing only — call before jit/lowering."""
     global _WGRAD_FORM
     if not form:
+        _WGRAD_FORM = _WGRAD_FORM_DEFAULT
         return
     if form not in ("einsum", "conv"):
         raise ValueError(f"wgrad_form={form!r} not in einsum|conv")

@@ -108,29 +108,24 @@ conv1d_p.def_abstract_eval(_conv1d_abstract)
 convt1d_p.def_abstract_eval(_convt1d_abstract)
 
 
-def _eager_impl(prim):
-    # eager execution routes through the same lowering via jit; cache the
-    # jitted wrapper per static params — a fresh partial every call would
-    # defeat jit's cache and recompile on every eager invocation
+def _eager_impl(body):
+    # eager execution routes through the same lowering (`body`) via jit;
+    # cache the jitted wrapper per static params — a fresh partial every
+    # call would defeat jit's cache and recompile on every eager
+    # invocation. Shared by every primitive family in this module.
     cache: dict = {}
 
     def impl(*args, **params):
         key = tuple(sorted(params.items()))
         fn = cache.get(key)
         if fn is None:
-            body = {"audiogan_conv1d": _conv1d_impl,
-                    "audiogan_convt1d": _convt1d_impl,
-                    "audiogan_conv1d_ba": _conv1d_ba_impl,
-                    "audiogan_convt1d_ba": _convt1d_ba_impl,
-                    "audiogan_conv1d_wgrad": _conv1d_wgrad_impl,
-                    "audiogan_convt1d_wgrad": _convt1d_wgrad_impl}[prim.name]
             fn = cache[key] = jax.jit(functools.partial(body, **params))
         return fn(*args)
     return impl
 
 
-conv1d_p.def_impl(_eager_impl(conv1d_p))
-convt1d_p.def_impl(_eager_impl(convt1d_p))
+conv1d_p.def_impl(_eager_impl(_conv1d_impl))
+convt1d_p.def_impl(_eager_impl(_convt1d_impl))
 
 mlir.register_lowering(
     conv1d_p, mlir.lower_fun(_conv1d_impl, multiple_results=False))
@@ -155,9 +150,9 @@ def _conv1d_transpose_x(ct, x, w, *, stride, pad_lo, pad_hi, impl):
 
 
 def _conv1d_transpose_w(ct, x, w, *, stride, pad_lo, pad_hi, impl):
-    # routed through the wgrad PRIMITIVE (kernels/conv.py lowerings:
-    # Pallas stacked-row matmuls or the phase-grouped einsum stack), whose
-    # own transposes re-enter conv1d/convt1d — arbitrary-order AD holds
+    # routed through the wgrad PRIMITIVE (kernels/conv.py lowerings: the
+    # einsum-stack or single-conv XLA contraction form), whose own
+    # transposes re-enter conv1d/convt1d — arbitrary-order AD holds
     k = w.aval.shape[0]
     dw = conv1d_wgrad_prim(x, ct, stride=stride, pad_lo=pad_lo,
                            pad_hi=pad_hi, k=k, impl=impl)
@@ -191,10 +186,12 @@ ad.defbilinear(convt1d_p, _convt1d_transpose_x, _convt1d_transpose_w)
 # dW is BILINEAR in (x, ct): with the trilinear form F(x, w, ct) =
 # <conv(x, w), ct>, the three partial maps are conv (d/d ct), the data
 # gradient (d/dx) and the weight gradient (d/dw). Registering the weight
-# gradient as its own primitive lets the Pallas stacked-row kernel
-# (kernels/conv.py _conv1d_wgrad_pallas) carry the hot contraction while
-# its transposes re-enter conv1d_prim/convt1d_prim — so gradients OF
-# gradients (any order) stay inside this primitive set.
+# gradient as its own primitive keeps the hot contraction behind one
+# seam — the lowering picks the XLA contraction FORM (einsum vs single
+# conv, kernels/conv.py set_wgrad_form; the r4-cut Pallas stacked-row
+# kernel lived behind the same seam) — while its transposes re-enter
+# conv1d_prim/convt1d_prim, so gradients OF gradients (any order) stay
+# inside this primitive set.
 # ---------------------------------------------------------------------------
 
 conv1d_wgrad_p = jex_core.Primitive("audiogan_conv1d_wgrad")
@@ -246,8 +243,8 @@ def _convt1d_wgrad_abstract(x, ct, *, stride, pad_lo, out_len, k, impl):
 
 conv1d_wgrad_p.def_abstract_eval(_conv1d_wgrad_abstract)
 convt1d_wgrad_p.def_abstract_eval(_convt1d_wgrad_abstract)
-conv1d_wgrad_p.def_impl(_eager_impl(conv1d_wgrad_p))
-convt1d_wgrad_p.def_impl(_eager_impl(convt1d_wgrad_p))
+conv1d_wgrad_p.def_impl(_eager_impl(_conv1d_wgrad_impl))
+convt1d_wgrad_p.def_impl(_eager_impl(_convt1d_wgrad_impl))
 
 mlir.register_lowering(
     conv1d_wgrad_p, mlir.lower_fun(_conv1d_wgrad_impl,
@@ -413,8 +410,8 @@ def _convt1d_ba_abstract(x, w, b, *, stride, pad_lo, out_len, act, slope,
 
 conv1d_ba_p.def_abstract_eval(_conv1d_ba_abstract)
 convt1d_ba_p.def_abstract_eval(_convt1d_ba_abstract)
-conv1d_ba_p.def_impl(_eager_impl(conv1d_ba_p))
-convt1d_ba_p.def_impl(_eager_impl(convt1d_ba_p))
+conv1d_ba_p.def_impl(_eager_impl(_conv1d_ba_impl))
+convt1d_ba_p.def_impl(_eager_impl(_convt1d_ba_impl))
 
 mlir.register_lowering(
     conv1d_ba_p, mlir.lower_fun(_conv1d_ba_impl, multiple_results=False))
@@ -598,24 +595,9 @@ mlir.register_lowering(
     sconvt1d_p, mlir.lower_fun(_sconvt1d_impl, multiple_results=False))
 
 
-def _seager_impl(prim):
-    cache: dict = {}
-
-    def impl(*args, **params):
-        key = tuple(sorted(params.items()))
-        fn = cache.get(key)
-        if fn is None:
-            body = {"audiogan_sconv1d": _sconv1d_impl,
-                    "audiogan_sconv1d_ba": _sconv1d_ba_impl,
-                    "audiogan_sconvt1d": _sconvt1d_impl}[prim.name]
-            fn = cache[key] = jax.jit(functools.partial(body, **params))
-        return fn(*args)
-    return impl
-
-
-sconv1d_p.def_impl(_seager_impl(sconv1d_p))
-sconv1d_ba_p.def_impl(_seager_impl(sconv1d_ba_p))
-sconvt1d_p.def_impl(_seager_impl(sconvt1d_p))
+sconv1d_p.def_impl(_eager_impl(_sconv1d_impl))
+sconv1d_ba_p.def_impl(_eager_impl(_sconv1d_ba_impl))
+sconvt1d_p.def_impl(_eager_impl(_sconvt1d_impl))
 
 
 def _sconv1d_jvp(primals, tangents, **params):

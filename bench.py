@@ -135,6 +135,23 @@ def bench_sample(cfg, n_warmup=2, n_iters=10, num=None):
 PRESETS = ["tiny_sc09", "wgan_gp_b64", "cond_gru_sc09", "dual_stft",
            "resample_22k", "music_44k_dp16"]
 
+# Tier-name -> config overrides. Uniform tiers clear the per-net
+# overrides so --kernels xla is PURE xla even on presets whose default
+# splits G/D; "mixed" maps to its real meaning (G=pallas, D=xla) — the
+# config layer itself has no "mixed" value, so passing it through
+# verbatim would silently run XLA under a "mixed" label.
+TIERS = {
+    "xla": ["train.kernels=xla", "train.kernels_g=", "train.kernels_d="],
+    "pallas": ["train.kernels=pallas", "train.kernels_g=",
+               "train.kernels_d="],
+    "mixed": ["train.kernels=xla", "train.kernels_g=pallas",
+              "train.kernels_d=xla"],
+    # per-geometry routing: every conv (incl. AD-generated ones) picks the
+    # measured-best tier for its own shape (kernels/conv.py _auto_*)
+    "auto": ["train.kernels=auto", "train.kernels_g=",
+             "train.kernels_d="],
+}
+
 
 def bench_one(preset: str, dtype: str, kernels: str | None, steps: int,
               proxy: float, sample_batch: int | None = None) -> dict:
@@ -145,10 +162,7 @@ def bench_one(preset: str, dtype: str, kernels: str | None, steps: int,
     cfg = get_preset(preset)
     cfg = apply_overrides(cfg, [f"train.dtype={dtype}"])
     if kernels:
-        # explicit tier: also clear per-net overrides so --kernels xla is
-        # PURE xla even on presets whose default is the mixed tier
-        cfg = apply_overrides(cfg, [f"train.kernels={kernels}",
-                                    "train.kernels_g=", "train.kernels_d="])
+        cfg = apply_overrides(cfg, TIERS[kernels])
     if cfg.mesh.dp * cfg.mesh.cp > 1:
         # bench runs on the ONE real chip; preset meshes (music_44k_dp16)
         # are exercised on the virtual CPU farm by tests/parallel instead
@@ -180,18 +194,6 @@ def bench_one(preset: str, dtype: str, kernels: str | None, steps: int,
         "vs_jax_eager": round(steps_per_sec / load_proxy("jax-cpu-eager"),
                               2),
     }
-
-
-TIERS = {
-    "xla": ["train.kernels=xla"],
-    "pallas": ["train.kernels=pallas"],
-    "mixed": ["train.kernels=xla", "train.kernels_g=pallas",
-              "train.kernels_d=xla"],
-    # per-geometry routing: every conv (incl. AD-generated ones) picks the
-    # measured-best tier for its own shape (kernels/conv.py _auto_*)
-    "auto": ["train.kernels=auto", "train.kernels_g=",
-             "train.kernels_d="],
-}
 
 
 def bench_compare(preset: str, dtype: str, rounds: int = 3, steps: int = 6):

@@ -14,10 +14,21 @@ W=/tmp/soak_r4
 rm -rf "$W"
 
 for S in 25000 50000 75000 100000; do
-  /usr/bin/time -v timeout 14400 python -m audiogan_tpu.cli train \
+  # (no /usr/bin/time on this host) poll the trainer's peak RSS from /proc
+  # every 2 min — the host-memory trajectory of the metrics/ckpt writers
+  # over a multi-hour run is part of what the soak is for
+  timeout 14400 python -m audiogan_tpu.cli train \
     --preset wgan_gp_b64 --data_dir '' --total_steps "$S" --workdir "$W" \
-    --set train.ckpt_every=500 --set train.sample_every=25000 \
-    || echo "SOAK_SEG_FAIL $S"
+    --set train.ckpt_every=500 --set train.sample_every=25000 &
+  PID=$!
+  while kill -0 "$PID" 2>/dev/null; do
+    # $PID is the `timeout` shim; the trainer is its child
+    CHILD=$(awk '{print $1}' "/proc/$PID/task/$PID/children" 2>/dev/null)
+    [ -n "$CHILD" ] && grep VmHWM "/proc/$CHILD/status" 2>/dev/null \
+      | sed "s/^/seg$S /"
+    sleep 120
+  done
+  wait "$PID" || echo "SOAK_SEG_FAIL $S"
   ls "$W/checkpoints" | tail -5
   timeout 2400 python -m audiogan_tpu.cli eval --workdir "$W" --num 256 \
     || echo "SOAK_EVAL_FAIL $S"

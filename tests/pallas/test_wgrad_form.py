@@ -98,13 +98,17 @@ def test_wgrad_form_global_switches_lowering(rng, monkeypatch):
 
 
 def test_set_wgrad_form(monkeypatch):
-    """TrainCfg.wgrad_form threads through set_wgrad_form: '' leaves the
-    default, valid values switch the global, junk raises."""
-    monkeypatch.setattr(kconv, "_WGRAD_FORM", "einsum")
-    kconv.set_wgrad_form("")
-    assert kconv._WGRAD_FORM == "einsum"
+    """TrainCfg.wgrad_form threads through set_wgrad_form: '' RESETS to
+    the process default (a previous step build in the same process must
+    not leak its form into a preset that didn't set one — e.g. bench
+    --preset all building resample after the flagship), valid values
+    switch the global, junk raises."""
+    monkeypatch.setattr(kconv, "_WGRAD_FORM_DEFAULT", "einsum")
+    monkeypatch.setattr(kconv, "_WGRAD_FORM", kconv._WGRAD_FORM)  # restore
     kconv.set_wgrad_form("conv")
     assert kconv._WGRAD_FORM == "conv"
+    kconv.set_wgrad_form("")            # reset, not leave-as-is
+    assert kconv._WGRAD_FORM == "einsum"
     kconv.set_wgrad_form("einsum")
     assert kconv._WGRAD_FORM == "einsum"
     with pytest.raises(ValueError):

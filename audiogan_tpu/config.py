@@ -51,6 +51,14 @@ class DataCfg:
     # "auto" = replicate when it fits, shard when only the sharded form
     # fits, host batcher otherwise
     device_corpus_shard: str = "auto"
+    # Resident-INDEX chunking (device_corpus only): the loop ships the
+    # (seed, step)-pure sample indices in blocks of this many steps (one
+    # ~KB-scale transfer per block) and the step indexes its own row
+    # in-graph via state.step % index_chunk, removing the per-step
+    # host->device index put (whose per-transfer round trip is the cost
+    # on the tunneled host link — BASELINE.md "Soak discovery", r4 s4).
+    # 0 = legacy per-step index transfer. Bit-identical stream either way.
+    index_chunk: int = 512
 
     @property
     def resampled_len(self) -> int:
@@ -206,6 +214,8 @@ class Config:
             raise ValueError(
                 f"data.device_corpus_shard={d.device_corpus_shard!r} "
                 "not in auto|replicate|shard")
+        if d.index_chunk < 0:
+            raise ValueError("data.index_chunk must be >= 0")
         if self.train.wgrad_form not in ("", "einsum", "conv"):
             raise ValueError(
                 f"train.wgrad_form={self.train.wgrad_form!r} "

@@ -54,6 +54,12 @@ def label_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, data_axes(mesh)))
 
 
+def index_chunk_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for resident index/label blocks [chunk, n_views, B]
+    (data.index_chunk): B over 'data', chunk axis replicated."""
+    return NamedSharding(mesh, P(None, None, data_axes(mesh)))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

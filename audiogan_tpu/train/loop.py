@@ -9,10 +9,12 @@ bit-identical to an uninterrupted one.
 
 from __future__ import annotations
 
+import threading
 import time
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from audiogan_tpu.config import Config
@@ -33,6 +35,49 @@ from audiogan_tpu.utils.metrics import MetricsWriter
 # Largest packed corpus held replicated in HBM (device_corpus); larger
 # corpora fall back to the host batcher with a warning.
 DEVICE_CORPUS_MAX_GB = 8.0
+
+
+class _AsyncCkpt:
+    """Checkpoint without stalling the device (SURVEY C17 at soak scale).
+
+    `jax.device_get(state)` pulls the full TrainState (~450 MB at the
+    flagship) through the host link synchronously — on the tunneled axon
+    link that was ~35-40 s per save, a ~30% wall-time tax at
+    ckpt_every=500 (r4 soak segment 1). Instead: take an on-device
+    snapshot (one jit'd HBM->HBM copy, ~ms — required anyway because the
+    step donates the state buffers), then do the D2H fetch + orbax save
+    in a worker thread while the main thread keeps dispatching steps.
+    One save in flight; the next save joins the previous first, so host
+    memory holds at most two host copies of the state.
+    """
+
+    def __init__(self, mngr):
+        self._mngr = mngr
+        self._thread: threading.Thread | None = None
+        self._err: BaseException | None = None
+        self._snap_fn = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
+
+    def save(self, state) -> None:
+        snap = self._snap_fn(state)  # async dispatch; orders after the step
+        self.join()
+
+        def work():
+            try:
+                ckpt_lib.save(self._mngr, jax.device_get(snap))
+            except BaseException as e:  # surfaced on the next join()
+                self._err = e
+
+        self._thread = threading.Thread(target=work, daemon=True,
+                                        name="audiogan-ckpt")
+        self._thread.start()
+
+    def join(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
 
 
 def resolve_corpus(cfg: Config, workdir: Path) -> Corpus:
@@ -153,6 +198,7 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
         # replicated, batch sharded over 'data' — XLA's SPMD partitioner
         # then emits the grad all-reduce over ICI ([B:5]). donate buffers.
         base_step = jax.jit(step_fn, donate_argnums=(0,))
+    chunk = cfg.data.index_chunk if dev_corpus else 0
     if dev_corpus:
         from audiogan_tpu.parallel.mesh import replicated_sharding
         # put_global_batch so the resident corpus also composes with the
@@ -177,11 +223,22 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
     b_shard = label_sharding(mesh) if dev_corpus else batch_sharding(mesh)
     l_shard = label_sharding(mesh)
 
+    def chunk_rows(m: int) -> tuple[np.ndarray, np.ndarray]:
+        """Index/label rows for steps [m*chunk, (m+1)*chunk) — a resume
+        mid-chunk rebuilds the full block (the stream is (seed, step)-
+        pure); rows before the resume step are simply never indexed."""
+        rows = [batcher.get(s) for s in range(m * chunk, (m + 1) * chunk)]
+        return (np.stack([r[0] for r in rows]),
+                np.stack([r[1] for r in rows]))
+
     if cfg.train.dump_hlo:
         # auditable single-graph claim of [B:5]: the WHOLE training step
         # (ingest + n_critic scan + GP double-backprop + both optimizers)
         # is one optimized HLO module.
-        c0, l0 = batcher.get(int(state.step))
+        if chunk:
+            c0, l0 = chunk_rows(int(state.step) // chunk)
+        else:
+            c0, l0 = batcher.get(int(state.step))
         if dev_corpus:
             hlo = base_step.lower(state, corpus_dev, c0,
                                   l0).compile().as_text()
@@ -193,6 +250,7 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
 
     writer = MetricsWriter(workdir)
     sample_fn = build_sample_fn(cfg)
+    ckpt_async = _AsyncCkpt(mngr)
 
     start = int(state.step)
     total = cfg.train.total_steps
@@ -200,21 +258,31 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
     t_log = time.time()
     last_logged = start
 
-    # Host prefetch (SURVEY C6): the batcher thread samples ahead while the
-    # device steps; device_put of the NEXT batch overlaps the current step
-    # because jit dispatch is async.
-    batcher.start_prefetch(start, total)
-
     def put(item):
         s, (clips, labels) = item
         return s, (put_global_batch(clips, b_shard),
                    put_global_batch(labels, l_shard))
 
+    staged = None
+    cur_m, cur_chunk = -1, None
+    if chunk:
+        # resident index blocks (data.index_chunk): one put per `chunk`
+        # steps; the step picks its row in-graph at state.step % chunk.
+        # Per-step index puts pay the tunneled host link's per-transfer
+        # LATENCY each step (BASELINE.md "Soak discovery", r4 s4).
+        from audiogan_tpu.parallel.mesh import index_chunk_sharding
+        c_shard = index_chunk_sharding(mesh)
+    else:
+        # Host prefetch (SURVEY C6): the batcher thread samples ahead
+        # while the device steps; device_put of the NEXT batch overlaps
+        # the current step because jit dispatch is async.
+        batcher.start_prefetch(start, total)
+        pending = batcher.next_prefetched()
+        staged = put(pending) if pending is not None else None
+
     prof_on, prof_off = (start + cfg.train.profile_steps[0],
                          start + cfg.train.profile_steps[1])
 
-    pending = batcher.next_prefetched()
-    staged = put(pending) if pending is not None else None
     for step in range(start, total):
         if cfg.train.profile_dir:
             if step == prof_on:
@@ -224,11 +292,19 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
                 jax.profiler.stop_trace()
                 print(f"[profile] xplane trace in {cfg.train.profile_dir}",
                       flush=True)
-        assert staged is not None and staged[0] == step
-        clips, labels = staged[1]
-        state, metrics = jit_step(state, clips, labels)
-        nxt = batcher.next_prefetched()
-        staged = put(nxt) if nxt is not None else None
+        if chunk:
+            if step // chunk != cur_m:
+                cur_m = step // chunk
+                ci, cl = chunk_rows(cur_m)
+                cur_chunk = (put_global_batch(ci, c_shard),
+                             put_global_batch(cl, c_shard))
+            state, metrics = jit_step(state, *cur_chunk)
+        else:
+            assert staged is not None and staged[0] == step
+            clips, labels = staged[1]
+            state, metrics = jit_step(state, clips, labels)
+            nxt = batcher.next_prefetched()
+            staged = put(nxt) if nxt is not None else None
 
         if (step + 1) % cfg.train.log_every == 0 or step + 1 == total:
             metrics = jax.device_get(metrics)  # sync point
@@ -246,11 +322,12 @@ def train(cfg: Config, workdir: str | Path, resume: bool = True) -> dict:
 
         if (cfg.train.ckpt_every and (step + 1) % cfg.train.ckpt_every == 0
                 ) or step + 1 == total:
-            ckpt_lib.save(mngr, jax.device_get(state))
+            ckpt_async.save(state)
 
         if cfg.train.sample_every and (step + 1) % cfg.train.sample_every == 0:
             _dump_samples(cfg, state, sample_fn, workdir, step + 1)
 
+    ckpt_async.join()
     mngr.wait_until_finished()
     writer.close()
     return {k: float(v) for k, v in jax.device_get(metrics).items()}

@@ -55,13 +55,21 @@ def _replica_mean(grads, axis_name: str):
 
 
 def wrap_device_corpus(inner: Callable, mesh=None,
-                       sharded: bool = False) -> Callable:
+                       sharded: bool = False, chunk: int = 0) -> Callable:
     """Wrap a (state, raw, labels) step as a resident-corpus step
     (data.device_corpus):
 
     step(state, corpus_clips [N, store_len] int16 (HBM-resident,
     replicated), idx [n_views, B] int32, labels [n_views, B] int32)
     -> (state, metrics)
+
+    chunk > 0 (data.index_chunk): idx/labels instead arrive as RESIDENT
+    blocks [chunk, n_views, B] covering steps [m*chunk, (m+1)*chunk);
+    the step picks its own row in-graph at state.step % chunk, so the
+    per-step host->device index transfer disappears too — on a
+    high-latency tunneled host link the per-transfer round trip, not
+    the bytes, is what a per-step put costs (BASELINE.md "Soak
+    discovery", r4 s4). The loop re-ships one ~KB block per chunk steps.
 
     The host ships the whole packed corpus to HBM ONCE and then only the
     (seed, step)-pure sample indices per step (a few KB), so the per-step
@@ -88,6 +96,11 @@ def wrap_device_corpus(inner: Callable, mesh=None,
         raise ValueError("sharded device corpus requires a mesh")
 
     def step_fn(state: TrainState, corpus_clips, idx, labels):
+        if chunk:
+            k = jax.lax.rem(state.step.astype(jnp.int32), jnp.int32(chunk))
+            idx = jax.lax.dynamic_index_in_dim(idx, k, 0, keepdims=False)
+            labels = jax.lax.dynamic_index_in_dim(labels, k, 0,
+                                                  keepdims=False)
         if sharded:
             # corpus clip axis sharded over the batch axes: explicit
             # all_gather(idx) + masked take + psum_scatter on ICI
@@ -108,7 +121,8 @@ def build_device_corpus_step(cfg: Config, mesh=None, sharded: bool = False
                              ) -> Callable[..., tuple[TrainState, dict]]:
     """Resident-corpus variant of the data-parallel train step
     (see wrap_device_corpus)."""
-    return wrap_device_corpus(build_train_step(cfg), mesh, sharded=sharded)
+    return wrap_device_corpus(build_train_step(cfg), mesh, sharded=sharded,
+                              chunk=cfg.data.index_chunk)
 
 
 def build_train_step(cfg: Config, axis_name: str | None = None

@@ -215,7 +215,8 @@ def build_tp_train_step(cfg: Config, mesh) -> Callable:
             # resident-corpus mode: gather the batch in-graph from the
             # replicated HBM corpus before entering the shard_map
             from audiogan_tpu.train.step import wrap_device_corpus
-            fn = wrap_device_corpus(fn, mesh, sharded=sharded_corpus)
+            fn = wrap_device_corpus(fn, mesh, sharded=sharded_corpus,
+                                    chunk=cfg.data.index_chunk)
         return jax.jit(fn, donate_argnums=(0,))
 
     return make

@@ -27,7 +27,15 @@ def _corpus(tmp_path, cfg):
 
 
 def test_step_matches_host_batcher(tmp_path):
+    """Both resident-index forms — per-step idx (index_chunk=0) and the
+    chunked block the loop ships by default (the step picks its row
+    in-graph at state.step % chunk) — match the host-batcher step."""
     cfg = tiny_config()
+    cfg0 = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, index_chunk=0))
+    K = 4                       # > the 3 steps run: partial use is normal
+    cfgk = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, index_chunk=K))
     corpus = _corpus(tmp_path, cfg)
     n = num_views(cfg)
 
@@ -38,8 +46,13 @@ def test_step_matches_host_batcher(tmp_path):
 
     s_host = create_train_state(cfg)
     s_dev = create_train_state(cfg)
+    s_chk = create_train_state(cfg)
     step_h = jax.jit(build_train_step(cfg))
-    step_d = jax.jit(build_device_corpus_step(cfg))
+    step_d = jax.jit(build_device_corpus_step(cfg0))
+    step_c = jax.jit(build_device_corpus_step(cfgk))
+    rows = [dev.get(s) for s in range(K)]
+    idx_c = np.stack([r[0] for r in rows])
+    lab_c = np.stack([r[1] for r in rows])
 
     for s in range(3):
         clips, labels = host.get(s)
@@ -48,10 +61,14 @@ def test_step_matches_host_batcher(tmp_path):
         np.testing.assert_array_equal(np.asarray(corpus.clips)[idx], clips)
         s_host, m_h = step_h(s_host, clips, labels)
         s_dev, m_d = step_d(s_dev, corpus_dev, idx, labels_d)
+        s_chk, m_c = step_c(s_chk, corpus_dev, idx_c, lab_c)
         for k in m_h:
             np.testing.assert_allclose(
                 np.asarray(m_d[k]), np.asarray(m_h[k]), rtol=1e-6,
                 atol=1e-7, err_msg=f"step {s}: {k}")
+            np.testing.assert_array_equal(
+                np.asarray(m_c[k]), np.asarray(m_d[k]),
+                err_msg=f"step {s} chunked: {k}")
 
 
 def test_loop_end_to_end_device_corpus(tmp_path):

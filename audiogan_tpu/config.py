@@ -343,7 +343,11 @@ def wgan_gp_b64() -> Config:
         # wgrad_form=conv: relayout-free single-conv weight-grad contraction,
         # +2.5% step-level vs the einsum stack (r4 interleaved A/B, 6 rounds;
         # BASELINE.md). tiny/resample keep einsum (0.976/0.990 there).
-        train=TrainCfg(batch_size=64, kernels="auto", wgrad_form="conv"),
+        # dtype=bfloat16: the headline operating point (f32 is 0.63x —
+        # r4 loop A/B; GP norms track f32 to 1e-3, learning proof and
+        # 100k soak both bf16). tiny/resample keep f32 (CPU CI presets).
+        train=TrainCfg(batch_size=64, kernels="auto", wgrad_form="conv",
+                       dtype="bfloat16"),
     ).validate()
 
 
@@ -360,8 +364,9 @@ def cond_gru_sc09() -> Config:
                        fused_shuffle_sites=-1),
         loss=LossCfg(n_critic=5),
         # auto: fused GRU scan (1.21x on-HW) + per-geometry conv routing;
-        # wgrad_form=conv +3.3% (r4 A/B)
-        train=TrainCfg(batch_size=64, kernels="auto", wgrad_form="conv"),
+        # wgrad_form=conv +3.3% (r4 A/B); bf16 = headline operating point
+        train=TrainCfg(batch_size=64, kernels="auto", wgrad_form="conv",
+                       dtype="bfloat16"),
     ).validate()
 
 
@@ -378,8 +383,9 @@ def dual_stft() -> Config:
         loss=LossCfg(n_critic=5, stft_loss_weight=1.0),
         # auto: wave G/D geometry identical to the flagship (the measured
         # routing transfers); the STFT critic's 2D convs stay XLA;
-        # wgrad_form=conv +2.4% (r4 A/B)
-        train=TrainCfg(batch_size=64, kernels="auto", wgrad_form="conv"),
+        # wgrad_form=conv +2.4% (r4 A/B); bf16 = headline operating point
+        train=TrainCfg(batch_size=64, kernels="auto", wgrad_form="conv",
+                       dtype="bfloat16"),
     ).validate()
 
 
@@ -436,7 +442,8 @@ def music_44k_dp16() -> Config:
         # +25.9% step-level (1.45 -> 1.83 steps/s dp=1, interleaved A/B) —
         # the einsum stack's (b, rows, s*cin) relayout at t=25200 rows was
         # the cost the r3s8 flagship profile saw, scaled up 6x.
-        train=TrainCfg(batch_size=64, wgrad_form="conv"),
+        train=TrainCfg(batch_size=64, wgrad_form="conv",
+                       dtype="bfloat16"),  # headline operating point
         mesh=MeshCfg(dp=16, cp=1),
     ).validate()
 

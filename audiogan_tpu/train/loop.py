@@ -49,6 +49,13 @@ class _AsyncCkpt:
     in a worker thread while the main thread keeps dispatching steps.
     One save in flight; the next save joins the previous first, so host
     memory holds at most two host copies of the state.
+
+    The fetch is leaf-AT-A-TIME, not `jax.device_get(tree)`: device_get
+    enqueues every leaf's D2H copy up front, so a concurrent small
+    transfer (the loop's per-log_every metrics fetch) queues behind the
+    ENTIRE state on the host link — measured as an unchanged ~35 s log
+    bucket per save even with the fetch off-thread (r4 soak2, step
+    1050). Sequential per-leaf fetches bound that wait to one leaf.
     """
 
     def __init__(self, mngr):
@@ -57,13 +64,19 @@ class _AsyncCkpt:
         self._err: BaseException | None = None
         self._snap_fn = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
 
+    @staticmethod
+    def _fetch(tree):
+        leaves, treedef = jax.tree.flatten(tree)
+        return jax.tree.unflatten(treedef,
+                                  [np.asarray(leaf) for leaf in leaves])
+
     def save(self, state) -> None:
         snap = self._snap_fn(state)  # async dispatch; orders after the step
         self.join()
 
         def work():
             try:
-                ckpt_lib.save(self._mngr, jax.device_get(snap))
+                ckpt_lib.save(self._mngr, self._fetch(snap))
             except BaseException as e:  # surfaced on the next join()
                 self._err = e
 

@@ -167,6 +167,35 @@ def _loop_metrics_pair(tmp_path, cfg):
     return run(False, "host"), run(True, "dev")
 
 
+def test_loop_index_chunk_boundary(tmp_path):
+    """Loop-level equality of the chunked index form across chunk
+    boundaries: index_chunk=2 over 5 steps forces three block puts and
+    modular row selection (steps 0-1 / 2-3 / 4) — the metrics stream
+    must match per-step index shipping (index_chunk=0) exactly."""
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, device_corpus=True),
+        train=dataclasses.replace(cfg.train, total_steps=5, log_every=1,
+                                  ckpt_every=0, sample_every=0),
+    ).validate()
+    from audiogan_tpu.train.loop import train
+
+    def run(chunk, wd):
+        c = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, index_chunk=chunk))
+        train(c, tmp_path / wd, resume=False)
+        return [json.loads(line) for line in
+                (tmp_path / wd / "metrics.jsonl").read_text().splitlines()]
+
+    m0, m2 = run(0, "perstep"), run(2, "chunked")
+    assert len(m0) == len(m2) == 5
+    for a, b in zip(m0, m2):
+        for k in ("d_loss", "g_loss", "gp", "w_dist"):
+            np.testing.assert_allclose(b[k], a[k], rtol=1e-6, atol=1e-7,
+                                       err_msg=k)
+
+
 def test_loop_device_corpus_cp2(tmp_path):
     """Resident corpus composed with the context-parallel step (dp=2,
     cp=2): the in-graph gather feeds the shard_map'd cp step and must

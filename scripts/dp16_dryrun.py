@@ -59,13 +59,39 @@ def main():
     labels = jax.device_put(labels, label_sharding(mesh))
 
     step = jax.jit(build_train_step(cfg), donate_argnums=(0,))
-    state, metrics = step(state, clips, labels)
-    jax.block_until_ready(metrics)
-    m = {k: float(v) for k, v in metrics.items()}
-    assert int(state.step) == 1
-    assert all(np.isfinite(v) for v in m.values()), m
-    print("dp16 music-geometry step: ok —",
-          {k: round(v, 4) for k, v in m.items()})
+
+    def run(n_steps: int):
+        """n_steps full WGAN-GP steps from a fresh init, fresh data each
+        step; returns the per-step metric dicts (for the determinism leg)."""
+        st = jax.device_put(create_train_state(cfg),
+                            state_shardings(mesh, st0_shape))
+        out = []
+        for i in range(n_steps):
+            rng_i = np.random.default_rng(1000 + i)
+            c = (rng_i.standard_normal((n, cfg.train.batch_size,
+                                        cfg.data.store_len)) * 8000
+                 ).clip(-32768, 32767).astype(np.int16)
+            lab = (rng_i.integers(0, max(cfg.data.num_classes, 1),
+                                  (n, cfg.train.batch_size))
+                   ).astype(np.int32)
+            c = jax.device_put(c, batch_sharding(mesh))
+            lab = jax.device_put(lab, label_sharding(mesh))
+            st, metrics = step(st, c, lab)
+            out.append({k: float(v) for k, v in metrics.items()})
+        assert int(st.step) == n_steps
+        return out
+
+    st0_shape = create_train_state(cfg)
+    hist = run(6)
+    for i, m in enumerate(hist):
+        assert all(np.isfinite(v) for v in m.values()), (i, m)
+    print("dp16 music-geometry 6-step run: ok — w_dist trajectory",
+          [round(m["w_dist"], 4) for m in hist])
+    # Determinism at dp=16: an identical re-run reproduces every metric of
+    # every step bit-exactly (the (seed,step)-pure claim at this mesh).
+    hist2 = run(6)
+    assert hist == hist2, "dp=16 re-run diverged"
+    print("dp16 determinism: ok — 6-step re-run bit-identical")
     return 0
 
 

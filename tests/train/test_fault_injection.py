@@ -36,8 +36,8 @@ def _env():
     return env
 
 
-def _run(workdir, wait=True):
-    cmd = [sys.executable, "-m", "audiogan_tpu.cli"] + ARGS + [
+def _run(workdir, wait=True, extra=()):
+    cmd = [sys.executable, "-m", "audiogan_tpu.cli"] + ARGS + list(extra) + [
         "--workdir", str(workdir)]
     p = subprocess.Popen(cmd, env=_env(), stdout=subprocess.PIPE,
                          stderr=subprocess.STDOUT)
@@ -53,13 +53,21 @@ def _final_metrics(workdir):
     return [r for r in recs if r["step"] == 4][-1]
 
 
-def test_sigkill_then_resume_matches_uninterrupted(tmp_path):
+@pytest.mark.parametrize("dp", [1, 8])
+def test_sigkill_then_resume_matches_uninterrupted(tmp_path, dp):
+    """dp=8: the crash + restore happens with state sharded over the CPU
+    farm (mesh.fsdp shards optimizer leaves over 'data'), so recovery is
+    exercised at scale, not just single-device (SURVEY §5; C17)."""
+    extra = [] if dp == 1 else [
+        "--set", f"mesh.dp={dp}", "--set", "mesh.fsdp=true",
+        "--set", "train.batch_size=8"]
+
     clean = tmp_path / "clean"
-    _run(clean)
+    _run(clean, extra=extra)
     want = _final_metrics(clean)
 
     crashy = tmp_path / "crashy"
-    p = _run(crashy, wait=False)
+    p = _run(crashy, wait=False, extra=extra)
     # kill as soon as the step-2 checkpoint lands
     ckpt = crashy / "ckpt" / "2"
     deadline = time.time() + 600
@@ -74,7 +82,7 @@ def test_sigkill_then_resume_matches_uninterrupted(tmp_path):
         p.send_signal(signal.SIGKILL)
         p.wait(timeout=60)
 
-    _run(crashy)  # resume to completion
+    _run(crashy, extra=extra)  # resume to completion
     got = _final_metrics(crashy)
     for k in want:
         if k == "time" or "per_sec" in k:

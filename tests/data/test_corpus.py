@@ -43,6 +43,35 @@ def test_prefetch_stream_matches_direct(tmp_path):
     assert b.next_prefetched() is None
 
 
+def test_prefetch_stress_bounded_queue(tmp_path):
+    """SURVEY §5 race hazards: the SPSC prefetch queue under a jittery
+    consumer — 300 steps, random consumer stalls (so the producer
+    alternates between blocking on a full queue and racing ahead), a
+    non-zero start step, exact stream order, clean termination."""
+    import random
+    import time
+
+    wavs = make_synthetic_sc09(tmp_path / "w", n_per_class=2, num_classes=2,
+                               clip_len=500)
+    corpus = Corpus(build_corpus(wavs, tmp_path / "p", store_len=512))
+    b = HostBatcher(corpus, batch_size=2, n_views=2, seed=11)
+    start, stop = 7, 307
+    b.start_prefetch(start, stop)
+    rng = random.Random(0)
+    for s in range(start, stop):
+        if rng.random() < 0.05:
+            time.sleep(0.002)  # let the producer fill the bounded queue
+        item = b.next_prefetched()
+        assert item is not None, s
+        step, (clips, labels) = item
+        assert step == s
+        if s % 50 == 0:  # spot-check payload against the pure function
+            ref_clips, ref_labels = b.get(s)
+            np.testing.assert_array_equal(clips, ref_clips)
+            np.testing.assert_array_equal(labels, ref_labels)
+    assert b.next_prefetched() is None
+
+
 def test_synthetic_deterministic(tmp_path):
     a = make_synthetic_sc09(tmp_path / "a", n_per_class=1, num_classes=2,
                             clip_len=400, seed=5)

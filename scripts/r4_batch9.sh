@@ -38,31 +38,7 @@ fi
 echo "===== (2) bench refresh, all presets, final r4 stack ====="
 timeout 3000 python bench.py --preset all || echo "BENCH FAIL"
 
-echo "===== (3) flagship device profile, final stack ====="
-timeout 1500 python scripts/profile_step.py --preset wgan_gp_b64 --steps 3 \
-  || echo "PROFILE FAIL"
-
-echo "===== (4) music native-scale learning proof (trimmed batch8) ====="
-W=/tmp/music_proof_r4
-rm -rf "$W"
-for S in 600 1200; do
-  timeout 2400 python -m audiogan_tpu.cli train --preset music_44k_dp16 \
-    --data_dir '' --total_steps "$S" --workdir "$W" \
-    --set mesh.dp=1 --set train.batch_size=64 \
-    --set train.ckpt_every=300 --set train.sample_every=1200 \
-    || echo "MUSIC_SEG_FAIL $S"
-done
-timeout 1800 python -m audiogan_tpu.cli eval --workdir "$W" --num 32 \
-  || echo "MUSIC_EVAL_FAIL"
-
-echo "===== (5) pending pairwise fused-shuffle A/Bs ====="
-timeout 1800 python scripts/step_ab.py --preset cond_gru_sc09 \
-  --rounds 3 --steps 10 \
-  --variant fxla=model.fused_shuffle_sites=-1 \
-  --variant fx1=model.fused_shuffle_sites=1 || echo "AB_GRU FAIL"
-timeout 1800 python scripts/step_ab.py --preset music_44k_dp16 \
-  --rounds 2 --steps 6 \
-  --variant fxla="model.fused_shuffle_sites=-1;mesh.dp=1" \
-  --variant fx1="model.fused_shuffle_sites=1;mesh.dp=1" || echo "AB_MUSIC FAIL"
+echo "===== (3+) late-bound tail ====="
+bash scripts/r4_batch9_tail.sh
 
 echo "===== r4_batch9 done ====="

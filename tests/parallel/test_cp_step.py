@@ -161,6 +161,29 @@ def test_cp_step_music_geometry():
     assert all(np.isfinite(v) for m in hist for v in m.values())
 
 
+def test_cp_step_fused_sites_config_matches_unsharded():
+    """A fused-shuffle preset (music ships model.fused_shuffle_sites=-1)
+    trained under cp: the CP critic intentionally keeps the select-form
+    shuffle (cp_models ignores fused_shuffle_sites — the sconv fusion is a
+    single-device data-movement optimization, and fused==unfused is exact
+    by construction, pinned in test_sconv.py::test_fused_step_matches_
+    unfused_step). This closes the transitive chain directly: the cp=4 run
+    under the fused-sites config must equal the same-builder unsharded run,
+    shuffle ON."""
+    import dataclasses as dc
+    cfg4 = _cfg(dp=1, cp=4, shuffle=2)
+    cfg4 = dc.replace(
+        cfg4, model=dc.replace(cfg4.model, fused_shuffle_sites=-1))
+    _, h_cp = _run_cp(cfg4, _mesh(1, 4))
+    cfg1 = dc.replace(
+        cfg4, mesh=MeshCfg(dp=1, cp=1))
+    _, h_ref = _run_cp(cfg1, _mesh(1, 1))
+    for mc, mr in zip(h_cp, h_ref):
+        for k in ("d_loss", "w_dist", "gp", "gp_grad_norm", "g_loss"):
+            np.testing.assert_allclose(mc[k], mr[k], rtol=5e-4, atol=1e-5,
+                                       err_msg=k)
+
+
 def test_cp_step_stft_loss_matches_unsharded():
     """The G spectral-matching term under cp (cp_batch_spectral_matching_
     loss: hop-aligned local frames + (win-hop) halo + psum'd reductions)

@@ -1,0 +1,99 @@
+#!/bin/bash
+# Round-5 chip queue, tail — read by bash only when the soak completes,
+# so it can be edited while stage 1 runs.
+#   2. Music native-scale proof (VERDICT r4 #3): 5000 steps of
+#      music_44k_dp16 @ dp=1 batch 64 through the CLI, with a mid-run
+#      SIGKILL (~step 1200) + resume, an eval at 2500 and at 5000.
+#      NOTE: kill -9 on a chip-claiming process can wedge the next
+#      claim ~30 min (WORKLOG known-facts); the resume leg's timeout
+#      budgets for it.
+#   3. Pending fused-shuffle pairwise A/Bs (VERDICT r4 #6): cond_gru
+#      and music fxla (shipped -1) vs fx1 vs f0, interleaved pairwise.
+#   4. Flagship device profile on the current stack (input to the r5
+#      glue hunt, VERDICT r4 #4).
+# The chip is FREE after this tail — close bench runs at round end.
+set -x
+cd /root/repo
+export PYTHONPATH="/root/repo:$PYTHONPATH"
+LOG=/tmp/r5_queue.log
+
+mpersist() {
+  cp -f "$M/metrics.jsonl" bench/music_r5_metrics.jsonl 2>/dev/null
+  cp -f "$LOG" bench/r5_queue_log.txt
+  for i in 1 2 3 4 5; do
+    git add bench/music_r5_metrics.jsonl bench/r5_queue_log.txt && \
+    git commit -m "music r5: evidence checkpoint ($1)" && break
+    sleep 7
+  done
+}
+
+echo "===== (2) music native-scale proof ====="
+M=/tmp/music_r5
+rm -rf "$M"
+timeout 7200 python -m audiogan_tpu.cli train --preset music_44k_dp16 \
+  --data_dir '' --total_steps 2500 --workdir "$M" \
+  --set mesh.dp=1 --set train.batch_size=64 \
+  --set train.ckpt_every=250 --set train.sample_every=5000 &
+MPID=$!
+# SIGKILL mid-run once metrics show step >= 1200 (fault injection at
+# native scale; tests/train pin bit-exact resume, this is the HW witness)
+while kill -0 "$MPID" 2>/dev/null; do
+  STEP=$(tail -1 "$M/metrics.jsonl" 2>/dev/null | grep -o '"step": [0-9]*' \
+         | grep -o '[0-9]*')
+  if [ -n "$STEP" ] && [ "$STEP" -ge 1200 ]; then
+    echo "MUSIC_SIGKILL at step $STEP"; kill -9 "$MPID"; break
+  fi
+  sleep 30
+done
+wait "$MPID"; echo "music stage-A exit: $?"
+mpersist "pre-resume (killed ~1200)"
+# resume to 2500 (timeout budgets a possible ~30 min lease wedge)
+timeout 7200 python -m audiogan_tpu.cli train --preset music_44k_dp16 \
+  --data_dir '' --total_steps 2500 --workdir "$M" \
+  --set mesh.dp=1 --set train.batch_size=64 \
+  --set train.ckpt_every=250 --set train.sample_every=5000 \
+  || echo "MUSIC_RESUME_FAIL"
+timeout 2400 python -m audiogan_tpu.cli eval --workdir "$M" --num 128 \
+  || echo "MUSIC_EVAL_FAIL 2500"
+mpersist "2500+eval"
+# continue clean to 5000, eval
+timeout 7200 python -m audiogan_tpu.cli train --preset music_44k_dp16 \
+  --data_dir '' --total_steps 5000 --workdir "$M" \
+  --set mesh.dp=1 --set train.batch_size=64 \
+  --set train.ckpt_every=250 --set train.sample_every=5000 \
+  || echo "MUSIC_SEG2_FAIL"
+timeout 2400 python -m audiogan_tpu.cli eval --workdir "$M" --num 128 \
+  || echo "MUSIC_EVAL_FAIL 5000"
+mpersist "5000+eval"
+
+echo "===== (3) pending fused-shuffle pairwise A/Bs ====="
+F=model.fused_shuffle_sites
+timeout 4800 python scripts/step_ab.py --preset cond_gru_sc09 \
+  --variant "fxla=$F=-1" --variant "fx1=$F=1" \
+  --rounds 6 --steps 10 || echo "AB_CG_A FAIL"
+timeout 4800 python scripts/step_ab.py --preset cond_gru_sc09 \
+  --variant "fx1=$F=1" --variant "f0=$F=0" \
+  --rounds 6 --steps 10 || echo "AB_CG_B FAIL"
+timeout 4800 python scripts/step_ab.py --preset music_44k_dp16 \
+  --variant "fxla=$F=-1" --variant "fx1=$F=1" \
+  --rounds 6 --steps 10 || echo "AB_MU_A FAIL"
+timeout 4800 python scripts/step_ab.py --preset music_44k_dp16 \
+  --variant "fx1=$F=1" --variant "f0=$F=0" \
+  --rounds 6 --steps 10 || echo "AB_MU_B FAIL"
+cp -f "$LOG" bench/r5_queue_log.txt
+for i in 1 2 3 4 5; do
+  git add bench/r5_queue_log.txt && \
+  git commit -m "r5 queue: fused-shuffle A/B evidence" && break
+  sleep 7
+done
+
+echo "===== (4) flagship device profile (glue-hunt input) ====="
+timeout 3600 python scripts/profile_step.py --preset wgan_gp_b64 --steps 3 \
+  2>&1 | tee bench/r5_profile_flagship.txt || echo "PROFILE FAIL"
+for i in 1 2 3 4 5; do
+  git add bench/r5_profile_flagship.txt && \
+  git commit -m "r5: flagship device profile on the r4-final stack" && break
+  sleep 7
+done
+
+echo "===== r5 tail done — chip free ====="

@@ -1,8 +1,10 @@
 #!/bin/bash
-# Follow-up to r4_batch9.sh: the sample-determinism verify flow (batch 9
-# step 1 passed --out instead of --out_dir, so the two sample calls
-# exited on argparse before claiming the chip). Runs after batch 9's
-# queue drains.
+# Follow-up to r4_batch9.sh — CORRECTION (advisor r4): batch 9's sample
+# calls passed --out, which argparse prefix-abbreviation resolved to
+# --out_dir, so they ran fine (bench/r4_batch9_log.txt shows both calls
+# succeeding and VERIFY_SAMPLE_DETERMINISM PASS). This rerun was
+# redundant; it's kept as a second PASS datapoint. Scripts should spell
+# the full --out_dir flag so the evidence trail stays unambiguous.
 set -x
 cd /root/repo
 export PYTHONPATH="/root/repo:$PYTHONPATH"

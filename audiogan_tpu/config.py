@@ -156,6 +156,17 @@ class TrainCfg:
     # kernels.conv.set_wgrad_form; step-level A/B verdict in BASELINE.md
     # (round 4).
     wgrad_form: str = ""
+    # Fuse the critic's real+fake evaluations into ONE 2B-batch call:
+    # merges the two forward conv stacks and — more importantly — the two
+    # parameter-backward passes, removing a weight-sized add_any gradient
+    # accumulation per layer per micro-step and doubling the wgrad GEMM
+    # rows (the r4 profiles' ~18% add/add_any AD-glue bucket). Changes the
+    # phase-shuffle stream (one key draws 2B per-example shifts instead of
+    # two keys drawing B each), so training trajectories differ from the
+    # unfused step; with phase_shuffle=0 the math is identical (pinned by
+    # tests/train/test_fused_views.py). Honored by the plain, cp and tp
+    # step builders. Step-level A/B verdict in BASELINE.md (round 5).
+    fused_d_views: bool = False
     dtype: str = "float32"          # compute dtype for conv stacks
     # observability (SURVEY §5): xplane trace window, optimized-HLO dump of
     # the single train-step graph, NaN debugging

@@ -47,6 +47,7 @@ from audiogan_tpu.parallel.cp_models import (
 from audiogan_tpu.parallel.mesh import (data_axes, fsdp_shardable,
                                         zero1_update)
 from audiogan_tpu.train.state import TrainState, make_optimizers
+from audiogan_tpu.train.step import d_scores_real_fake
 from audiogan_tpu.utils.prng import split_for_step
 
 
@@ -147,8 +148,9 @@ def build_cp_train_step(cfg: Config, mesh) -> Callable:
             sk3 = k_s3 if cfg.model.phase_shuffle else None
 
             def d_loss_fn(p):
-                rs = d_apply(p, real_loc, lab_r, sk1)
-                fs = d_apply(p, fake_loc, lab_f, sk2)
+                rs, fs = d_scores_real_fake(
+                    d_apply, p, real_loc, fake_loc, lab_r, lab_f, sk1, sk2,
+                    cfg.train.fused_d_views)
                 gp, gnorm = _cp_gradient_penalty(
                     lambda v: d_apply(p, v, lab_r, sk3), real_loc, fake_loc,
                     k_eps, "cp")

@@ -36,6 +36,31 @@ def num_views(cfg: Config) -> int:
     return cfg.loss.n_critic + (1 if cfg.loss.stft_loss_weight > 0 else 0)
 
 
+def d_scores_real_fake(d_apply, p, real, fake, lab_r, lab_f, k1, k2,
+                       fused: bool):
+    """Critic scores on the real and fake views of one D micro-step.
+
+    fused=False: two B-batch calls (keys k1/k2) — the reference-shaped
+    form every golden was recorded under.
+    fused=True (train.fused_d_views): ONE 2B-batch call under k1. The
+    critic factorizes over the batch (no cross-example coupling anywhere
+    in D — WGAN-GP forbids batch norm), so per-example scores are
+    unchanged math; what changes is op structure (one conv stack at 2B
+    rows instead of two at B, one parameter-backward instead of two
+    accumulated with add_any) and the phase-shuffle stream (2B shifts
+    drawn from k1). Shared by the plain/cp/tp step builders so the
+    cp==unsharded and tp==unsharded equalities hold under either setting.
+    """
+    if not fused:
+        return d_apply(p, real, lab_r, k1), d_apply(p, fake, lab_f, k2)
+    b = real.shape[0]
+    both = jnp.concatenate([real, fake], axis=0)
+    lab = (jnp.concatenate([lab_r, lab_f], axis=0)
+           if lab_r is not None else None)
+    scores = d_apply(p, both, lab, k1)
+    return scores[:b], scores[b:]
+
+
 def _replica_mean(grads, axis_name: str):
     """Mean of per-replica gradients, for vma-checked shard_map bodies.
 
@@ -192,8 +217,9 @@ def build_train_step(cfg: Config, axis_name: str | None = None
         lr = labels_real if conditional else None
 
         def d_loss_fn(p):
-            real_scores = d_apply(p, real, lr, k_s1)
-            fake_scores = d_apply(p, fake, labels_fake, k_s2)
+            real_scores, fake_scores = d_scores_real_fake(
+                d_apply, p, real, fake, lr, labels_fake, k_s1, k_s2,
+                cfg.train.fused_d_views)
             gp, gnorm = gradient_penalty(
                 lambda x: d_apply(p, x, lr, k_s3), real, fake, k_eps,
                 batch_chunks=cfg.loss.gp_batch_chunks)

@@ -52,6 +52,7 @@ from audiogan_tpu.parallel.mesh import (data_axes, fsdp_shardable,
                                         zero1_update)
 from audiogan_tpu.parallel.tp_models import tp_discriminator_forward
 from audiogan_tpu.train.state import TrainState, make_optimizers
+from audiogan_tpu.train.step import d_scores_real_fake
 from audiogan_tpu.utils.prng import split_for_step
 
 
@@ -123,8 +124,9 @@ def build_tp_train_step(cfg: Config, mesh) -> Callable:
             sk3 = k_s3 if cfg.model.phase_shuffle else None
 
             def d_loss_fn(p):
-                rs = d_apply(p, real, lab_r, sk1)
-                fs = d_apply(p, fake, lab_f, sk2)
+                rs, fs = d_scores_real_fake(
+                    d_apply, p, real, fake, lab_r, lab_f, sk1, sk2,
+                    cfg.train.fused_d_views)
                 # the CANONICAL gradient_penalty is correct here unchanged:
                 # x̂ is tp-invariant, so the vma-aware transpose of the
                 # in-forward psums already assembles the shard partials of

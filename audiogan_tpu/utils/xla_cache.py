@@ -1,20 +1,66 @@
 """Persistent XLA compilation cache (A5 runtime; SURVEY §1.2).
 
 TPU (and CPU-farm test) compiles of the single-graph WGAN-GP step take
-10-40 s; a persistent on-disk cache makes every re-launch (resume after
-preemption, CLI re-runs, CI) hit warm. Enabled by default for CLI
-entrypoints; tests point it at a repo-local dir via AUDIOGAN_XLA_CACHE.
+10-40 s warm-VM but 10-15 MINUTES on a fresh VM (cold LLVM/Mosaic state —
+the binding constraint on round-4 chip sessions, VERDICT r4 #5); a
+persistent on-disk cache makes every re-launch (resume after preemption,
+CLI re-runs, CI) hit warm. Enabled by default for CLI entrypoints; tests
+point it at a repo-local dir via AUDIOGAN_XLA_CACHE.
+
+Because ~/.cache dies with the VM while the git repo survives rounds, the
+repo carries SEED entries for the big preset graphs in
+bench/xla_cache_seed/ (harvested by scripts/harvest_xla_seed.py at the
+end of a chip session). enable_compilation_cache() links/copies any seed
+entries missing from the live cache dir, so a fresh VM's first
+`bench.py --preset all` / CLI launch skips the multi-minute step compiles
+entirely — the entry hash covers the optimized HLO + compile env, so a
+stale seed (code or jax changed) is simply never looked up and costs
+nothing but disk.
 
 Env contract:
   AUDIOGAN_XLA_CACHE=<dir>  use <dir>
   AUDIOGAN_XLA_CACHE=       (empty) disable
   unset                     default ~/.cache/audiogan_tpu/xla
+  AUDIOGAN_XLA_SEED=        (empty) skip repo-seed linking
 """
 
 from __future__ import annotations
 
 import os
 from pathlib import Path
+
+SEED_DIR = Path(__file__).resolve().parents[2] / "bench" / "xla_cache_seed"
+
+
+def seed_from_repo(cache_dir: str | Path,
+                   seed_dir: str | Path = SEED_DIR) -> int:
+    """Link (or copy) repo-committed cache seeds into the live cache dir.
+
+    Idempotent and cheap: one listdir of each side, then a hardlink per
+    missing entry (falls back to copy across filesystems). Returns the
+    number of entries seeded.
+    """
+    seed_dir = Path(seed_dir)
+    if not seed_dir.is_dir():
+        return 0
+    cache_dir = Path(cache_dir)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    have = {p.name for p in cache_dir.iterdir()}
+    n = 0
+    for src in seed_dir.iterdir():
+        if not src.name.endswith("-cache") or src.name in have:
+            continue
+        dst = cache_dir / src.name
+        try:
+            os.link(src, dst)
+        except OSError:
+            import shutil
+
+            tmp = dst.with_suffix(".seed-tmp")
+            shutil.copyfile(src, tmp)
+            os.replace(tmp, dst)  # atomic: jax never sees a partial entry
+        n += 1
+    return n
 
 
 def enable_compilation_cache(path: str | None = None) -> str | None:
@@ -35,4 +81,6 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     # irrelevant on local disk
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    if os.environ.get("AUDIOGAN_XLA_SEED", "1") not in ("", "0"):
+        seed_from_repo(path)
     return path

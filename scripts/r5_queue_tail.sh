@@ -96,4 +96,39 @@ for i in 1 2 3 4 5; do
   sleep 7
 done
 
+echo "===== (5) fused_d_views step A/Bs (glue hunt, VERDICT r4 #4) ====="
+# One 2B critic call for real+fake: merges the two forward stacks and the
+# two parameter-backward passes (the add_any accumulation). Verdict per
+# preset decides the shipped default (exactness pinned on CPU in
+# tests/train/test_fused_views.py).
+FD=train.fused_d_views
+{
+  timeout 4800 python scripts/step_ab.py --preset wgan_gp_b64 \
+    --variant base --variant "fdv=$FD=1" --rounds 6 --steps 10 \
+    || echo "AB_FDV_FLAGSHIP FAIL"
+  timeout 4800 python scripts/step_ab.py --preset cond_gru_sc09 \
+    --variant base --variant "fdv=$FD=1" --rounds 6 --steps 10 \
+    || echo "AB_FDV_CONDGRU FAIL"
+  timeout 4800 python scripts/step_ab.py --preset dual_stft \
+    --variant base --variant "fdv=$FD=1" --rounds 5 --steps 8 \
+    || echo "AB_FDV_DUAL FAIL"
+  timeout 4800 python scripts/step_ab.py --preset music_44k_dp16 \
+    --variant base --variant "fdv=$FD=1" --rounds 4 --steps 6 \
+    || echo "AB_FDV_MUSIC FAIL"
+} 2>&1 | tee bench/r5_fdv_ab_log.txt
+for i in 1 2 3 4 5; do
+  git add bench/r5_fdv_ab_log.txt bench/r5_queue_log.txt && \
+  git commit -m "r5: fused_d_views step A/B evidence" && break
+  sleep 7
+done
+
+echo "===== (6) per-preset MFU scoreboard (VERDICT r4 #8) ====="
+timeout 7200 python scripts/mfu_report.py --presets all \
+  2>&1 | tee bench/r5_mfu_report.txt || echo "MFU FAIL"
+for i in 1 2 3 4 5; do
+  git add bench/r5_mfu_report.txt && \
+  git commit -m "r5: per-preset MFU vs the measured 163.8 TF/s roof" && break
+  sleep 7
+done
+
 echo "===== r5 tail done — chip free ====="

@@ -169,7 +169,18 @@ def test_cp_step_fused_sites_config_matches_unsharded():
     by construction, pinned in test_sconv.py::test_fused_step_matches_
     unfused_step). This closes the transitive chain directly: the cp=4 run
     under the fused-sites config must equal the same-builder unsharded run,
-    shuffle ON."""
+    shuffle ON.
+
+    Why same-builder (advisor r4 asked for a cross-builder check): the cp
+    builder's shuffle stream intentionally differs from the plain
+    builder's (cp_discriminator_forward derives per-layer shift keys its
+    own way), so plain-vs-cp equality CANNOT hold at shuffle ON for ANY
+    config — measured 2026-08-20: cp=1 vs plain d_loss 6.7204 vs 7.1128
+    with identical inputs, shuffle=2, fused sites honored on the plain
+    side. The shuffle-ON cp==unsharded claims are therefore same-builder
+    cp=N vs cp=1 (test_cp_step_shuffle_on_matches_unsharded), with cp=1 ==
+    plain pinned separately at shuffle OFF (test_cp_step_matches_unsharded)
+    and op-level key-parity in test_halo.py."""
     import dataclasses as dc
     cfg4 = _cfg(dp=1, cp=4, shuffle=2)
     cfg4 = dc.replace(

@@ -131,4 +131,28 @@ for i in 1 2 3 4 5; do
   sleep 7
 done
 
+echo "===== (7) round-5 close bench: all 6 presets, drift-robust ====="
+# Fresh cache dir (seeds off): after this stage it holds EXACTLY the six
+# shipped preset graphs (bf16 step + sample) and nothing else — the
+# minimal seed set stage 8 snapshots for fresh-VM cold-start. Compiles
+# land before each timing window, so the bench numbers are unaffected.
+timeout 10800 env AUDIOGAN_XLA_CACHE=/tmp/xla_seed_harvest \
+  AUDIOGAN_XLA_SEED=0 python bench.py --preset all \
+  2>&1 | tee bench/r5_close_bench_log.txt || echo "CLOSE_BENCH FAIL"
+for i in 1 2 3 4 5; do
+  git add bench/r5_close_bench_log.txt && \
+  git commit -m "r5 close bench: all presets, interleaved-median headline" \
+  && break
+  sleep 7
+done
+
+echo "===== (8) harvest XLA cache seeds (fresh-VM cold-start) ====="
+# Snapshot the preset graphs compiled by stage 7 into
+# bench/xla_cache_seed/ so the next VM skips the 10-15 min cold step
+# compiles (docs/OPERATIONS.md). Entries are already high-entropy
+# (~incompressible); keeping only stage 7's dir excludes the one-off A/B
+# variant graphs from the repo.
+timeout 1200 python scripts/harvest_xla_seed.py \
+  --cache_dir /tmp/xla_seed_harvest --commit || echo "HARVEST FAIL"
+
 echo "===== r5 tail done — chip free ====="

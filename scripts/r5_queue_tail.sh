@@ -1,6 +1,11 @@
 #!/bin/bash
 # Round-5 chip queue, tail — read by bash only when the soak completes,
 # so it can be edited while stage 1 runs.
+# Order (glue-hunt inputs first, so the builder can iterate while the
+# long music proof runs):
+#   4. Flagship device profile on the current stack (input to the r5
+#      glue hunt, VERDICT r4 #4).
+#   5. fused_d_views step A/Bs (first glue lever verdict).
 #   2. Music native-scale proof (VERDICT r4 #3): 5000 steps of
 #      music_44k_dp16 @ dp=1 batch 64 through the CLI, with a mid-run
 #      SIGKILL (~step 1200) + resume, an eval at 2500 and at 5000.
@@ -9,9 +14,8 @@
 #      budgets for it.
 #   3. Pending fused-shuffle pairwise A/Bs (VERDICT r4 #6): cond_gru
 #      and music fxla (shipped -1) vs fx1 vs f0, interleaved pairwise.
-#   4. Flagship device profile on the current stack (input to the r5
-#      glue hunt, VERDICT r4 #4).
-# The chip is FREE after this tail — close bench runs at round end.
+#   6. Per-preset MFU scoreboard; 7. all-preset close bench (into a
+#      clean cache dir); 8. XLA seed harvest. Chip FREE after this.
 set -x
 cd /root/repo
 export PYTHONPATH="/root/repo:$PYTHONPATH"
@@ -26,6 +30,41 @@ mpersist() {
     sleep 7
   done
 }
+
+echo "===== (4) flagship device profile (glue-hunt input) ====="
+timeout 3600 python scripts/profile_step.py --preset wgan_gp_b64 --steps 3 \
+  2>&1 | tee bench/r5_profile_flagship.txt || echo "PROFILE FAIL"
+for i in 1 2 3 4 5; do
+  git add bench/r5_profile_flagship.txt && \
+  git commit -m "r5: flagship device profile on the r4-final stack" && break
+  sleep 7
+done
+
+echo "===== (5) fused_d_views step A/Bs (glue hunt, VERDICT r4 #4) ====="
+# One 2B critic call for real+fake: merges the two forward stacks and the
+# two parameter-backward passes (the add_any accumulation). Verdict per
+# preset decides the shipped default (exactness pinned on CPU in
+# tests/train/test_fused_views.py).
+FD=train.fused_d_views
+{
+  timeout 4800 python scripts/step_ab.py --preset wgan_gp_b64 \
+    --variant base --variant "fdv=$FD=1" --rounds 6 --steps 10 \
+    || echo "AB_FDV_FLAGSHIP FAIL"
+  timeout 4800 python scripts/step_ab.py --preset cond_gru_sc09 \
+    --variant base --variant "fdv=$FD=1" --rounds 6 --steps 10 \
+    || echo "AB_FDV_CONDGRU FAIL"
+  timeout 4800 python scripts/step_ab.py --preset dual_stft \
+    --variant base --variant "fdv=$FD=1" --rounds 5 --steps 8 \
+    || echo "AB_FDV_DUAL FAIL"
+  timeout 4800 python scripts/step_ab.py --preset music_44k_dp16 \
+    --variant base --variant "fdv=$FD=1" --rounds 4 --steps 6 \
+    || echo "AB_FDV_MUSIC FAIL"
+} 2>&1 | tee bench/r5_fdv_ab_log.txt
+for i in 1 2 3 4 5; do
+  git add bench/r5_fdv_ab_log.txt bench/r5_queue_log.txt && \
+  git commit -m "r5: fused_d_views step A/B evidence" && break
+  sleep 7
+done
 
 echo "===== (2) music native-scale proof ====="
 M=/tmp/music_r5
@@ -84,41 +123,6 @@ cp -f "$LOG" bench/r5_queue_log.txt
 for i in 1 2 3 4 5; do
   git add bench/r5_queue_log.txt && \
   git commit -m "r5 queue: fused-shuffle A/B evidence" && break
-  sleep 7
-done
-
-echo "===== (4) flagship device profile (glue-hunt input) ====="
-timeout 3600 python scripts/profile_step.py --preset wgan_gp_b64 --steps 3 \
-  2>&1 | tee bench/r5_profile_flagship.txt || echo "PROFILE FAIL"
-for i in 1 2 3 4 5; do
-  git add bench/r5_profile_flagship.txt && \
-  git commit -m "r5: flagship device profile on the r4-final stack" && break
-  sleep 7
-done
-
-echo "===== (5) fused_d_views step A/Bs (glue hunt, VERDICT r4 #4) ====="
-# One 2B critic call for real+fake: merges the two forward stacks and the
-# two parameter-backward passes (the add_any accumulation). Verdict per
-# preset decides the shipped default (exactness pinned on CPU in
-# tests/train/test_fused_views.py).
-FD=train.fused_d_views
-{
-  timeout 4800 python scripts/step_ab.py --preset wgan_gp_b64 \
-    --variant base --variant "fdv=$FD=1" --rounds 6 --steps 10 \
-    || echo "AB_FDV_FLAGSHIP FAIL"
-  timeout 4800 python scripts/step_ab.py --preset cond_gru_sc09 \
-    --variant base --variant "fdv=$FD=1" --rounds 6 --steps 10 \
-    || echo "AB_FDV_CONDGRU FAIL"
-  timeout 4800 python scripts/step_ab.py --preset dual_stft \
-    --variant base --variant "fdv=$FD=1" --rounds 5 --steps 8 \
-    || echo "AB_FDV_DUAL FAIL"
-  timeout 4800 python scripts/step_ab.py --preset music_44k_dp16 \
-    --variant base --variant "fdv=$FD=1" --rounds 4 --steps 6 \
-    || echo "AB_FDV_MUSIC FAIL"
-} 2>&1 | tee bench/r5_fdv_ab_log.txt
-for i in 1 2 3 4 5; do
-  git add bench/r5_fdv_ab_log.txt bench/r5_queue_log.txt && \
-  git commit -m "r5: fused_d_views step A/B evidence" && break
   sleep 7
 done
 

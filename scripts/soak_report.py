@@ -26,7 +26,10 @@ def _span_line(span: list[dict]) -> None:
 
 def main(workdir: str, logfile: str | None) -> None:
     raw = []
-    with open(f"{workdir}/metrics.jsonl") as f:
+    # Accept either a workdir or a direct path to a metrics.jsonl copy
+    # (the r5 queue's persist() passes the bench/ copy directly).
+    path = workdir if workdir.endswith(".jsonl") else f"{workdir}/metrics.jsonl"
+    with open(path) as f:
         for line in f:
             try:
                 raw.append(json.loads(line))

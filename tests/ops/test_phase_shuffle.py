@@ -72,9 +72,47 @@ def test_select_impl_exactly_matches_gather(rng):
             base, g_base, gg_base = evaluate()
             ps._SELECT_IMPL = 1
             sel, g_sel, gg_sel = evaluate()
+            ps._SELECT_IMPL = 2
+            prim, g_prim, gg_prim = evaluate()
         finally:
             ps._SELECT_IMPL = saved
         np.testing.assert_array_equal(np.asarray(base), np.asarray(sel))
         np.testing.assert_array_equal(np.asarray(g_base), np.asarray(g_sel))
         np.testing.assert_array_equal(np.asarray(gg_base),
                                       np.asarray(gg_sel))
+        # the r5 primitive form (hand-written transpose): same exactness bar
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(prim))
+        np.testing.assert_array_equal(np.asarray(g_base), np.asarray(g_prim))
+        np.testing.assert_array_equal(np.asarray(gg_base),
+                                      np.asarray(gg_prim))
+
+
+def test_pshuft_is_exact_adjoint(rng):
+    """<pshuf(x), y> == <x, pshuft(y)> for every offset, incl. the reflect
+    edge folds (f64; the two vdots reduce in different orders, so the bound
+    is f64 epsilon-scale rather than exact-zero)."""
+    import importlib
+    ps = importlib.import_module("audiogan_tpu.ops.phase_shuffle")
+    with jax.enable_x64(True):
+        for rad in (1, 2, 3):
+            b, t, c = 2 * rad + 1, 11, 2
+            x = jnp.asarray(rng.standard_normal((b, t, c)))
+            y = jnp.asarray(rng.standard_normal((b, t, c)))
+            offs = jnp.arange(b, dtype=jnp.int32)  # every offset 0..2rad
+            lhs = jnp.vdot(ps.pshuf_prim(x, offs, rad=rad), y)
+            rhs = jnp.vdot(x, ps.pshuft_prim(y, offs, rad=rad))
+            np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                       rtol=1e-13)
+
+
+def test_pshuf_prim_under_vmap_and_jit(rng):
+    import importlib
+    ps = importlib.import_module("audiogan_tpu.ops.phase_shuffle")
+    x = jnp.asarray(rng.standard_normal((3, 4, 24, 2)).astype(np.float32))
+    offs = jnp.asarray(rng.integers(0, 5, (3, 4)).astype(np.int32))
+    out = jax.vmap(lambda xv, ov: ps.pshuf_prim(xv, ov, rad=2))(x, offs)
+    ref = jnp.stack([ps.pshuf_prim(x[i], offs[i], rad=2) for i in range(3)])
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    jout = jax.jit(lambda xv, ov: ps.pshuf_prim(xv, ov, rad=2))(
+        x[0], offs[0])
+    np.testing.assert_array_equal(np.asarray(jout), np.asarray(ref[0]))

@@ -66,6 +66,34 @@ for i in 1 2 3 4 5; do
   sleep 7
 done
 
+echo "===== (5b) pshuf-primitive shuffle-transpose A/Bs (r5 glue lever) ====="
+# _SELECT_IMPL=2 routes unfused shuffle sites through the pshuf/pshuft
+# primitive pair (hand-written single-write transpose instead of AD's
+# (2rad+1)-term padded chain; step bit-identity pinned by
+# tests/train/test_shuffle_impl.py). Flagship ships fused_shuffle_sites=1,
+# so sites 2-4 are the census's 1.4 GB/step add_any+pad chains; cond_gru
+# ships -1 (no unfused sites) so it is NOT a candidate; music ships -1 too
+# — A/B it at f0 spelled prim to see if prim-unfused beats fused-all.
+PSI=gvar:audiogan_tpu.ops.phase_shuffle._SELECT_IMPL
+{
+  timeout 4800 python scripts/step_ab.py --preset wgan_gp_b64 \
+    --variant base --variant "prim=$PSI=2" --rounds 6 --steps 10 \
+    || echo "AB_PSHUF_FLAGSHIP FAIL"
+  timeout 4800 python scripts/step_ab.py --preset wgan_gp_b64 \
+    --variant "f0=model.fused_shuffle_sites=0" \
+    --variant "f0prim=model.fused_shuffle_sites=0;$PSI=2" \
+    --rounds 6 --steps 10 || echo "AB_PSHUF_F0 FAIL"
+  timeout 4800 python scripts/step_ab.py --preset music_44k_dp16 \
+    --variant base \
+    --variant "f0prim=model.fused_shuffle_sites=0;$PSI=2" \
+    --rounds 4 --steps 6 || echo "AB_PSHUF_MUSIC FAIL"
+} 2>&1 | tee bench/r5_pshuf_ab_log.txt
+for i in 1 2 3 4 5; do
+  git add bench/r5_pshuf_ab_log.txt && \
+  git commit -m "r5: pshuf-primitive shuffle-transpose A/B evidence" && break
+  sleep 7
+done
+
 echo "===== (2) music native-scale proof ====="
 M=/tmp/music_r5
 rm -rf "$M"

@@ -75,18 +75,151 @@ def window_place(u: jnp.ndarray, offs: jnp.ndarray, rad: int) -> jnp.ndarray:
     return out
 
 
-def mask_reflect_pad(y: jnp.ndarray, offs: jnp.ndarray, rad: int
-                     ) -> jnp.ndarray:
-    """Build the primitive's xp operand: reflect-pad y by rad on both time
-    ends, then zero everything outside each example's live window
-    [off, off + T).  XLA fuses pad + iota-compare + where into one
-    elementwise pass (2 traversals vs the select form's 2·rad+2)."""
+# mask_reflect_pad's BACKWARD is the round-5 glue lever for fused shuffle
+# sites: AD transposes the reflect pad (a concat of flipped edge slices)
+# into split + two FULL-WIDTH zero-padded add_any terms — at music's
+# t=25200 site-1 that is 2 × 3.3 GB of jaxpr-level accumulation writes per
+# step (scripts/glue_census.py, 2026-08-20). With _MRPAD_PRIM=1 the op is
+# a linear primitive pair whose hand transpose folds the rad-wide edges by
+# CONCAT (one full-width write); the pair re-enters itself under
+# transposition so the GP double-backprop composes at any order. Values
+# and grads are bit-equal (disjoint rows sum the same terms) — pinned by
+# tests/kernels/test_sconv.py. Module-global for step_ab gvar: A/Bs.
+_MRPAD_PRIM = 0
+
+
+def _mrpad_fwd(y: jnp.ndarray, offs: jnp.ndarray, rad: int) -> jnp.ndarray:
     b, t, c = y.shape
     xp = jnp.pad(y, ((0, 0), (rad, rad), (0, 0)), mode="reflect")
     pos = jnp.arange(t + 2 * rad, dtype=jnp.int32)[None, :, None]
     o = offs[:, None, None]
     live = (pos >= o) & (pos < o + t)
     return jnp.where(live, xp, jnp.zeros((), xp.dtype))
+
+
+def _mrpad_t(ct: jnp.ndarray, offs: jnp.ndarray, rad: int) -> jnp.ndarray:
+    """dy = Rᵀ(mask·ct): mask, then fold the reflect edges back at rad
+    width — dy[1+e] += v[rad-1-e], dy[t-2-e] += v[rad+t+e] — assembled by
+    concat so the whole adjoint is ONE full-width write."""
+    b, tp, c = ct.shape
+    t = tp - 2 * rad
+    assert t >= 2 * rad + 2, (t, rad)  # disjoint fold rows (all presets)
+    pos = jnp.arange(tp, dtype=jnp.int32)[None, :, None]
+    o = offs[:, None, None]
+    live = (pos >= o) & (pos < o + t)
+    v = jnp.where(live, ct, jnp.zeros((), ct.dtype))
+    core = lax.slice_in_dim(v, rad, rad + t, axis=1)
+    head = jnp.flip(lax.slice_in_dim(v, 0, rad, axis=1), 1)
+    tail = jnp.flip(lax.slice_in_dim(v, rad + t, rad + t + rad, axis=1), 1)
+    return jnp.concatenate(
+        [lax.slice_in_dim(core, 0, 1, axis=1),
+         lax.slice_in_dim(core, 1, 1 + rad, axis=1) + head,
+         lax.slice_in_dim(core, 1 + rad, t - 1 - rad, axis=1),
+         lax.slice_in_dim(core, t - 1 - rad, t - 1, axis=1) + tail,
+         lax.slice_in_dim(core, t - 1, t, axis=1)], axis=1)
+
+
+from jax.extend import core as _jex_core  # noqa: E402
+from jax.interpreters import ad as _ad, batching as _batching  # noqa: E402
+from jax.interpreters import mlir as _mlir  # noqa: E402
+from jax._src.core import (ShapedArray as _ShapedArray,  # noqa: E402
+                           standard_insert_pvary as _insert_pvary,
+                           standard_vma_rule as _vma_rule)
+
+mrpad_p = _jex_core.Primitive("audiogan_mrpad")
+mrpadt_p = _jex_core.Primitive("audiogan_mrpadt")
+
+
+def mrpad_prim(y, offs, rad: int):
+    y, offs = _insert_pvary(y, offs)
+    return mrpad_p.bind(y, offs, rad=rad)
+
+
+def mrpadt_prim(ct, offs, rad: int):
+    ct, offs = _insert_pvary(ct, offs)
+    return mrpadt_p.bind(ct, offs, rad=rad)
+
+
+mrpad_p.def_abstract_eval(lambda y, offs, *, rad: _ShapedArray(
+    (y.shape[0], y.shape[1] + 2 * rad, y.shape[2]), y.dtype,
+    vma=_vma_rule("mrpad", y, offs)))
+mrpadt_p.def_abstract_eval(lambda ct, offs, *, rad: _ShapedArray(
+    (ct.shape[0], ct.shape[1] - 2 * rad, ct.shape[2]), ct.dtype,
+    vma=_vma_rule("mrpadt", ct, offs)))
+_mlir.register_lowering(mrpad_p, _mlir.lower_fun(
+    lambda y, offs, *, rad: _mrpad_fwd(y, offs, rad),
+    multiple_results=False))
+_mlir.register_lowering(mrpadt_p, _mlir.lower_fun(
+    lambda ct, offs, *, rad: _mrpad_t(ct, offs, rad),
+    multiple_results=False))
+mrpad_p.def_impl(lambda y, offs, *, rad: jax.jit(
+    _mrpad_fwd, static_argnums=(2,))(y, offs, rad))
+mrpadt_p.def_impl(lambda ct, offs, *, rad: jax.jit(
+    _mrpad_t, static_argnums=(2,))(ct, offs, rad))
+
+
+def _mrpad_linear_jvp(prim_fn):
+    def jvp(primals, tangents, **params):
+        x, offs = primals
+        dx, _ = tangents
+        y = prim_fn(x, offs, **params)
+        if type(dx) is _ad.Zero:
+            return y, _ad.Zero.from_primal_value(y)
+        return y, prim_fn(dx, offs, **params)
+    return jvp
+
+
+def _mrpad_transpose(ct, y, offs, *, rad):
+    assert not _ad.is_undefined_primal(offs)
+    return (mrpadt_prim(ct, offs, rad=rad), None)
+
+
+def _mrpadt_transpose(g, ct, offs, *, rad):
+    assert not _ad.is_undefined_primal(offs)
+    return (mrpad_prim(g, offs, rad=rad), None)
+
+
+_ad.primitive_jvps[mrpad_p] = _mrpad_linear_jvp(mrpad_prim)
+_ad.primitive_jvps[mrpadt_p] = _mrpad_linear_jvp(mrpadt_prim)
+_ad.primitive_transposes[mrpad_p] = _mrpad_transpose
+_ad.primitive_transposes[mrpadt_p] = _mrpadt_transpose
+
+
+def _mrpad_batch_rule(prim):
+    def rule(args, dims, *, rad):
+        x, offs = args
+        dx, d_offs = dims
+        if dx is None:
+            v = offs.shape[d_offs]
+            x = jnp.broadcast_to(x[None], (v, *x.shape))
+        else:
+            x = jnp.moveaxis(x, dx, 0)
+        v, bsz = x.shape[0], x.shape[1]
+        if d_offs is None:
+            offs_f = jnp.tile(offs[None], (v, 1))
+        else:
+            offs_f = jnp.moveaxis(offs, d_offs, 0)
+        out = prim.bind(x.reshape(v * bsz, *x.shape[2:]),
+                        offs_f.reshape(v * bsz), rad=rad)
+        return out.reshape(v, bsz, *out.shape[1:]), 0
+    return rule
+
+
+_batching.primitive_batchers[mrpad_p] = _mrpad_batch_rule(mrpad_p)
+_batching.primitive_batchers[mrpadt_p] = _mrpad_batch_rule(mrpadt_p)
+
+
+def mask_reflect_pad(y: jnp.ndarray, offs: jnp.ndarray, rad: int
+                     ) -> jnp.ndarray:
+    """Build the primitive's xp operand: reflect-pad y by rad on both time
+    ends, then zero everything outside each example's live window
+    [off, off + T).  XLA fuses pad + iota-compare + where into one
+    elementwise pass (2 traversals vs the select form's 2·rad+2).
+    _MRPAD_PRIM=1 routes through the linear primitive pair above (same
+    values; hand-written single-write transpose — see the note there)."""
+    if _MRPAD_PRIM:
+        return mrpad_prim(y, offs.astype(jnp.int32), rad=rad)
+    return _mrpad_fwd(y, offs, rad)
 
 
 # ---------------------------------------------------------------------------

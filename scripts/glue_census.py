@@ -53,9 +53,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="wgan_gp_b64")
     ap.add_argument("--set", action="append", default=[], dest="overrides")
+    ap.add_argument("--gvar", action="append", default=[],
+                    help="module.attr=intval — set a module global before "
+                         "tracing (same semantics as step_ab's gvar:)")
     ap.add_argument("--prims", default="add_any",
                     help="comma-separated primitive names to census")
     args = ap.parse_args()
+
+    import importlib
+    for g in args.gvar:
+        path, _, val = g.partition("=")
+        modname, _, attr = path.rpartition(".")
+        setattr(importlib.import_module(modname), attr, int(val))
 
     from audiogan_tpu.cli import apply_overrides
     from audiogan_tpu.config import get_preset

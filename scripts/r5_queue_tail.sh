@@ -31,6 +31,42 @@ mpersist() {
   done
 }
 
+echo "===== (0) finish the soak if the hung seg-4 client left it short ====="
+# 2026-08-20 08:20: the seg-4 train client hung at step 96500 — futex-wait
+# on a response the axon relay never delivered (metrics/ckpt frozen 45 min,
+# utime flat, tunnel socket ESTAB but idle). SIGKILLed by the build session;
+# this stage idempotently resumes from the last complete ckpt to 100k.
+# Retries budget for the post-SIGKILL lease wedge (~30 min, WORKLOG).
+W=/tmp/soak_r5
+spersist() {
+  cp -f "$W/metrics.jsonl" bench/soak_r5_metrics.jsonl 2>/dev/null
+  python scripts/soak_report.py bench/soak_r5_metrics.jsonl "$LOG" \
+    > bench/soak_r5_report.txt 2>&1
+  cp -f "$LOG" bench/r5_queue_log.txt
+  for i in 1 2 3 4 5; do
+    git add bench/soak_r5_metrics.jsonl bench/soak_r5_report.txt \
+            bench/r5_queue_log.txt && \
+    git commit -m "soak r5: evidence checkpoint ($1)" && break
+    sleep 7
+  done
+}
+for ATT in 1 2 3; do
+  DONE=$(ls "$W/ckpt" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)
+  if [ -n "$DONE" ] && [ "$DONE" -ge 100000 ]; then
+    echo "soak complete (ckpt $DONE)"; break
+  fi
+  rm -rf "$W"/ckpt/*.orbax-checkpoint-tmp "$W"/ckpt/*.tmp 2>/dev/null
+  timeout 7200 python -m audiogan_tpu.cli train \
+    --preset wgan_gp_b64 --data_dir '' --total_steps 100000 --workdir "$W" \
+    --set train.dtype=bfloat16 \
+    --set train.ckpt_every=500 --set train.sample_every=25000 \
+    || echo "SOAK_FINISH_ATTEMPT_$ATT FAIL"
+  sleep 60
+done
+timeout 2400 python -m audiogan_tpu.cli eval --workdir "$W" --num 256 \
+  || echo "SOAK_EVAL_FAIL 100000-finish"
+spersist "seg100000-finish"
+
 echo "===== (4) flagship device profile (glue-hunt input) ====="
 timeout 3600 python scripts/profile_step.py --preset wgan_gp_b64 --steps 3 \
   2>&1 | tee bench/r5_profile_flagship.txt || echo "PROFILE FAIL"
@@ -93,6 +129,35 @@ for i in 1 2 3 4 5; do
   git commit -m "r5: pshuf-primitive shuffle-transpose A/B evidence" && break
   sleep 7
 done
+
+echo "===== (5c) mrpad-primitive fused-site transpose A/Bs (r5 glue lever) ====="
+# _MRPAD_PRIM=1 routes the FUSED shuffle sites' masked-reflect-pad through
+# a linear primitive pair with a hand-written single-write transpose (AD's
+# form is split + two full-width zero-padded add_any terms — the census's
+# dominant fused-site glue; 2 x 3.3 GB/step at music site 1). Gated on the
+# CPU bit-identity validation marker written by the build session.
+MRP=gvar:audiogan_tpu.kernels.sconv._MRPAD_PRIM
+if [ -f /tmp/mrpad_validated ]; then
+  {
+    timeout 4800 python scripts/step_ab.py --preset wgan_gp_b64 \
+      --variant base --variant "mrp=$MRP=1" --rounds 6 --steps 10 \
+      || echo "AB_MRPAD_FLAGSHIP FAIL"
+    timeout 4800 python scripts/step_ab.py --preset music_44k_dp16 \
+      --variant base --variant "mrp=$MRP=1" --rounds 4 --steps 6 \
+      || echo "AB_MRPAD_MUSIC FAIL"
+    timeout 4800 python scripts/step_ab.py --preset dual_stft \
+      --variant base --variant "mrp=$MRP=1" --rounds 5 --steps 8 \
+      || echo "AB_MRPAD_DUAL FAIL"
+  } 2>&1 | tee bench/r5_mrpad_ab_log.txt
+  for i in 1 2 3 4 5; do
+    git add bench/r5_mrpad_ab_log.txt && \
+    git commit -m "r5: mrpad-primitive fused-site transpose A/B evidence" \
+    && break
+    sleep 7
+  done
+else
+  echo "mrpad NOT validated on CPU in time — stage skipped"
+fi
 
 echo "===== (2) music native-scale proof ====="
 M=/tmp/music_r5

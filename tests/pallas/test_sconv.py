@@ -289,3 +289,90 @@ def test_fused_sites_validation():
         cfg, model=dataclasses.replace(cfg.model, fused_shuffle_sites=-2))
     with pytest.raises(ValueError):
         bad.validate()
+
+
+# ---------------------------------------------------------------------------
+# mrpad / mrpadt (round-5 glue lever: hand-transposed masked reflect pad)
+# ---------------------------------------------------------------------------
+
+def test_mrpad_prim_matches_plain(rng):
+    """Primitive form == plain jnp form: values, 1st-order, 2nd-order
+    grads, bit-exact (same terms summed over disjoint rows)."""
+    for rad in (1, 2, 3):
+        b, t, c = 2 * rad + 1, 4 * rad + 7, 3
+        y = _mk(rng, (b, t, c))
+        offs = jnp.arange(b, dtype=jnp.int32)  # every offset 0..2rad
+
+        def loss(v, form):
+            xp = (sconv.mrpad_prim(v, offs, rad=rad) if form == "prim"
+                  else sconv._mrpad_fwd(v, offs, rad))
+            return jnp.sum(jnp.tanh(xp) * xp)
+
+        for fn in (lambda v, f: (sconv.mrpad_prim(v, offs, rad=rad)
+                                 if f == "prim"
+                                 else sconv._mrpad_fwd(v, offs, rad)),):
+            np.testing.assert_array_equal(
+                np.asarray(fn(y, "prim")), np.asarray(fn(y, "plain")))
+        g0 = jax.grad(lambda v: loss(v, "plain"))(y)
+        g1 = jax.grad(lambda v: loss(v, "prim"))(y)
+        np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+        gg0 = jax.grad(
+            lambda v: jnp.sum(jax.grad(lambda u: loss(u, "plain"))(v) ** 2)
+        )(y)
+        gg1 = jax.grad(
+            lambda v: jnp.sum(jax.grad(lambda u: loss(u, "prim"))(v) ** 2)
+        )(y)
+        np.testing.assert_array_equal(np.asarray(gg0), np.asarray(gg1))
+
+
+def test_mrpadt_is_exact_adjoint(rng):
+    """<mrpad(y), u> == <y, mrpadt(u)> per offset (f64; reduction-order
+    epsilon bound)."""
+    with jax.enable_x64(True):
+        for rad in (1, 2, 3):
+            b, t, c = 2 * rad + 1, 4 * rad + 9, 2
+            y = jnp.asarray(rng.standard_normal((b, t, c)))
+            u = jnp.asarray(rng.standard_normal((b, t + 2 * rad, c)))
+            offs = jnp.arange(b, dtype=jnp.int32)
+            lhs = jnp.vdot(sconv.mrpad_prim(y, offs, rad=rad), u)
+            rhs = jnp.vdot(y, sconv.mrpadt_prim(u, offs, rad=rad))
+            np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                       rtol=1e-13)
+
+
+def test_mrpad_fused_step_bit_identical(rng):
+    """The full fused-shuffle WGAN-GP step with _MRPAD_PRIM=1 must be
+    bit-identical to the default (AD-transposed) form."""
+    import jax as _jax
+    from audiogan_tpu.train.state import create_train_state
+    from audiogan_tpu.train.step import build_train_step
+    from helpers_train import raw_batch
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, fused_shuffle_sites=-1))
+
+    def run(flag):
+        saved = sconv._MRPAD_PRIM
+        try:
+            sconv._MRPAD_PRIM = flag
+            state = create_train_state(cfg)
+            step = _jax.jit(build_train_step(cfg))
+            hist = []
+            for s in range(3):
+                clips, labels = raw_batch(cfg, seed=31 + s)
+                state, m = step(state, clips, labels)
+                hist.append(_jax.device_get(m))
+        finally:
+            sconv._MRPAD_PRIM = saved
+        return state, hist
+
+    st0, h0 = run(0)
+    st1, h1 = run(1)
+    for m0, m1 in zip(h0, h1):
+        for k in m0:
+            np.testing.assert_array_equal(np.asarray(m1[k]),
+                                          np.asarray(m0[k]), err_msg=k)
+    for l0, l1 in zip(jax.tree.leaves(st0.params_d),
+                      jax.tree.leaves(st1.params_d)):
+        np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))

@@ -148,6 +148,19 @@ if [ -f /tmp/mrpad_validated ]; then
     timeout 4800 python scripts/step_ab.py --preset dual_stft \
       --variant base --variant "mrp=$MRP=1" --rounds 5 --steps 8 \
       || echo "AB_MRPAD_DUAL FAIL"
+    # combined levers: flagship/dual ship fused site 1 + unfused sites 2-4,
+    # so mrpad (fused backward) and pshuf (unfused backward) compose;
+    # census: flagship 4136 -> 697 MB/step of add_any writes with both.
+    timeout 4800 python scripts/step_ab.py --preset wgan_gp_b64 \
+      --variant base --variant "both=$MRP=1;$PSI=2" --rounds 6 --steps 10 \
+      || echo "AB_MRPAD_BOTH_FLAGSHIP FAIL"
+    timeout 4800 python scripts/step_ab.py --preset dual_stft \
+      --variant base --variant "both=$MRP=1;$PSI=2" --rounds 5 --steps 8 \
+      || echo "AB_MRPAD_BOTH_DUAL FAIL"
+    # cond_gru ships -1 (all sites fused) -> mrpad-only candidate
+    timeout 4800 python scripts/step_ab.py --preset cond_gru_sc09 \
+      --variant base --variant "mrp=$MRP=1" --rounds 6 --steps 10 \
+      || echo "AB_MRPAD_CONDGRU FAIL"
   } 2>&1 | tee bench/r5_mrpad_ab_log.txt
   for i in 1 2 3 4 5; do
     git add bench/r5_mrpad_ab_log.txt && \

@@ -232,6 +232,31 @@ for i in 1 2 3 4 5; do
   sleep 7
 done
 
+echo "===== (3b) AUTO router-band re-check on the current stack (VERDICT r4 #6) ====="
+# Bands were last measured pre-sconv/pre-wgrad-flip (r3s6b: empty conv1d
+# band, convt m_out>=64 carried +9.1%). Re-check both edges pairwise at
+# the final operating point (pairwise — 3 resident batch-64 graphs OOM'd
+# in r4 batch 3). noconvt empties the convt band (= uniform xla routing);
+# convtall widens it to every convt.
+CB=gvar:audiogan_tpu.kernels.conv._AUTO_CONVT_MIN
+{
+  timeout 4800 python scripts/step_ab.py --preset wgan_gp_b64 \
+    --variant base --variant "noconvt=$CB=99999" --rounds 6 --steps 10 \
+    || echo "AB_BAND_NOCONVT FAIL"
+  timeout 4800 python scripts/step_ab.py --preset wgan_gp_b64 \
+    --variant base --variant "convtall=$CB=1" --rounds 6 --steps 10 \
+    || echo "AB_BAND_CONVTALL FAIL"
+  timeout 4800 python scripts/step_ab.py --preset wgan_gp_b64 \
+    --variant base \
+    --variant "convband=gvar:audiogan_tpu.kernels.conv._AUTO_CONV_BAND_HI=512" \
+    --rounds 6 --steps 10 || echo "AB_BAND_CONV FAIL"
+} 2>&1 | tee bench/r5_band_ab_log.txt
+for i in 1 2 3 4 5; do
+  git add bench/r5_band_ab_log.txt && \
+  git commit -m "r5: AUTO router-band re-check A/B evidence" && break
+  sleep 7
+done
+
 echo "===== (6) per-preset MFU scoreboard (VERDICT r4 #8) ====="
 timeout 7200 python scripts/mfu_report.py --presets all \
   2>&1 | tee bench/r5_mfu_report.txt || echo "MFU FAIL"

@@ -357,8 +357,14 @@ def wgan_gp_b64() -> Config:
         # dtype=bfloat16: the headline operating point (f32 is 0.63x —
         # r4 loop A/B; GP norms track f32 to 1e-3, learning proof and
         # 100k soak both bf16). tiny/resample keep f32 (CPU CI presets).
+        # fused_d_views: ONE 2B-batch critic call per D micro-step —
+        # +16.6% step-level (11.73 vs 10.07, 6-round interleaved A/B,
+        # r5; BASELINE.md "fused_d_views"). All four TPU-scale presets
+        # ship it; tiny/resample keep the unfused two-call form (CPU CI
+        # presets — golden-trajectory continuity, and the win is glue
+        # the small graphs don't have).
         train=TrainCfg(batch_size=64, kernels="auto", wgrad_form="conv",
-                       dtype="bfloat16"),
+                       dtype="bfloat16", fused_d_views=True),
     ).validate()
 
 
@@ -375,9 +381,10 @@ def cond_gru_sc09() -> Config:
                        fused_shuffle_sites=-1),
         loss=LossCfg(n_critic=5),
         # auto: fused GRU scan (1.21x on-HW) + per-geometry conv routing;
-        # wgrad_form=conv +3.3% (r4 A/B); bf16 = headline operating point
+        # wgrad_form=conv +3.3% (r4 A/B); bf16 = headline operating point;
+        # fused_d_views +19.6% (11.71 vs 9.80, r5 A/B — BASELINE.md)
         train=TrainCfg(batch_size=64, kernels="auto", wgrad_form="conv",
-                       dtype="bfloat16"),
+                       dtype="bfloat16", fused_d_views=True),
     ).validate()
 
 
@@ -394,9 +401,11 @@ def dual_stft() -> Config:
         loss=LossCfg(n_critic=5, stft_loss_weight=1.0),
         # auto: wave G/D geometry identical to the flagship (the measured
         # routing transfers); the STFT critic's 2D convs stay XLA;
-        # wgrad_form=conv +2.4% (r4 A/B); bf16 = headline operating point
+        # wgrad_form=conv +2.4% (r4 A/B); bf16 = headline operating point;
+        # fused_d_views +14.8% (8.09 vs 7.05, r5 A/B — both critics and
+        # the STFT framing fuse their real+fake views)
         train=TrainCfg(batch_size=64, kernels="auto", wgrad_form="conv",
-                       dtype="bfloat16"),
+                       dtype="bfloat16", fused_d_views=True),
     ).validate()
 
 
@@ -453,8 +462,11 @@ def music_44k_dp16() -> Config:
         # +25.9% step-level (1.45 -> 1.83 steps/s dp=1, interleaved A/B) —
         # the einsum stack's (b, rows, s*cin) relayout at t=25200 rows was
         # the cost the r3s8 flagship profile saw, scaled up 6x.
+        # fused_d_views is the r5 equivalent: +24.9% (2.31 vs 1.85 dp=1 —
+        # one 128-row conv stack at t=176400 instead of two 64-row ones).
         train=TrainCfg(batch_size=64, wgrad_form="conv",
-                       dtype="bfloat16"),  # headline operating point
+                       dtype="bfloat16",  # headline operating point
+                       fused_d_views=True),
         mesh=MeshCfg(dp=16, cp=1),
     ).validate()
 

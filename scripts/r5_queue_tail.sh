@@ -290,4 +290,17 @@ echo "===== (8) harvest XLA cache seeds (fresh-VM cold-start) ====="
 timeout 1200 python scripts/harvest_xla_seed.py \
   --cache_dir /tmp/xla_seed_harvest --commit || echo "HARVEST FAIL"
 
+echo "===== (9) post-fdv device profiles (the shipped operating point) ====="
+timeout 3600 python scripts/profile_step.py --preset wgan_gp_b64 --steps 3 \
+  2>&1 | tee bench/r5_profile_flagship_fdv.txt || echo "PROFILE_FDV FAIL"
+timeout 3600 python scripts/profile_step.py --preset music_44k_dp16 \
+  --set mesh.dp=1 --steps 3 \
+  2>&1 | tee bench/r5_profile_music_fdv.txt || echo "PROFILE_MUSIC_FDV FAIL"
+for i in 1 2 3 4 5; do
+  git add bench/r5_profile_flagship_fdv.txt bench/r5_profile_music_fdv.txt && \
+  git commit -m "r5: post-fused_d_views device profiles (flagship + music)" \
+  && break
+  sleep 7
+done
+
 echo "===== r5 tail done — chip free ====="

@@ -86,6 +86,16 @@ class ModelCfg:
     # stream, same math). Wave critic + plain dp step only (the cp/tp
     # shard_map forwards keep the select form).
     fused_shuffle_sites: int = 0
+    # Lowering for the UNFUSED shuffle sites (ops/phase_shuffle.py, set at
+    # step-build time like train.wgrad_form): "select" (AD-transposed
+    # select-over-static-slices), "prim" (same select values behind the
+    # pshuf/pshuft linear primitive pair whose hand-written transpose
+    # emits one select-scatter write instead of AD's (2·rad+1)-term
+    # full-width padded chain), "gather" (vmap'd dynamic_slice — the r3
+    # diagnostic form), "" = process default (env AUDIOGAN_SHUFFLE_IMPL,
+    # else select). All three are bit-identical through the full train
+    # step (tests/train/test_shuffle_impl.py) — pure op-structure choice.
+    shuffle_impl: str = ""
     use_stft_critic: bool = False   # dual discriminator (C11)
     stft_resolutions: tuple[tuple[int, int, int], ...] = (
         (512, 128, 512), (1024, 256, 1024), (2048, 512, 2048),
@@ -221,6 +231,10 @@ class Config:
                 raise ValueError(f"train.{f}={v!r} not in xla|pallas|auto")
         if m.fused_shuffle_sites < -1:
             raise ValueError("model.fused_shuffle_sites must be >= -1")
+        if m.shuffle_impl not in ("", "gather", "select", "prim"):
+            raise ValueError(
+                f"model.shuffle_impl={m.shuffle_impl!r} "
+                "not in gather|select|prim")
         if d.device_corpus_shard not in ("auto", "replicate", "shard"):
             raise ValueError(
                 f"data.device_corpus_shard={d.device_corpus_shard!r} "

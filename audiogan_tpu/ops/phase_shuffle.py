@@ -39,6 +39,35 @@ from jax.interpreters import ad, batching, mlir
 # stays closed at any order.
 _SELECT_IMPL = 1
 
+# Named handle on the global above, mirroring kernels.conv.set_wgrad_form:
+# the step builders call set_shuffle_impl(cfg.model.shuffle_impl) before
+# tracing, and "" RESETS to the process default (env AUDIOGAN_SHUFFLE_IMPL,
+# else "select") so one preset's choice never leaks into the next build in
+# the same process (bench --preset all). All three forms are bit-identical
+# through the full train step (tests/train/test_shuffle_impl.py), so this
+# is a pure op-structure choice, never a math one.
+_IMPL_NAMES = {"gather": 0, "select": 1, "prim": 2}
+
+
+def _impl_default() -> int:
+    import os
+    name = os.environ.get("AUDIOGAN_SHUFFLE_IMPL", "select")
+    return _IMPL_NAMES.get(name, 1)
+
+
+def set_shuffle_impl(name: str) -> None:
+    """Select the unfused-site shuffle lowering ("gather"|"select"|"prim").
+
+    Affects tracing only — call before jit/lowering."""
+    global _SELECT_IMPL
+    if not name:
+        _SELECT_IMPL = _impl_default()
+        return
+    if name not in _IMPL_NAMES:
+        raise ValueError(
+            f"shuffle_impl={name!r} not in gather|select|prim")
+    _SELECT_IMPL = _IMPL_NAMES[name]
+
 # There is deliberately NO standalone Pallas shuffle kernel (cut round 4):
 # the single-HBM-pass kernel pair was bit-exact compiled on HW (values /
 # vjp / 2nd-order, f32+bf16) but LOST at step level on every preset (r3s7

@@ -76,6 +76,10 @@ def build_cp_train_step(cfg: Config, mesh) -> Callable:
     """
     from audiogan_tpu.kernels import conv as _kconv
     _kconv.set_wgrad_form(cfg.train.wgrad_form)
+    import importlib
+    importlib.import_module(
+        "audiogan_tpu.ops.phase_shuffle").set_shuffle_impl(
+            cfg.model.shuffle_impl)
     n_critic = cfg.loss.n_critic
     gp_lambda = cfg.loss.gp_lambda
     stft_w = cfg.loss.stft_loss_weight

@@ -166,6 +166,10 @@ def build_train_step(cfg: Config, axis_name: str | None = None
     """
     from audiogan_tpu.kernels import conv as _kconv
     _kconv.set_wgrad_form(cfg.train.wgrad_form)
+    import importlib
+    importlib.import_module(
+        "audiogan_tpu.ops.phase_shuffle").set_shuffle_impl(
+            cfg.model.shuffle_impl)
     g = build_generator(cfg)
     d = build_discriminator(cfg)
     opt_g, opt_d = make_optimizers(cfg)

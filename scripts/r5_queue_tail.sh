@@ -161,6 +161,15 @@ if [ -f /tmp/mrpad_validated ]; then
     timeout 4800 python scripts/step_ab.py --preset cond_gru_sc09 \
       --variant base --variant "mrp=$MRP=1" --rounds 6 --steps 10 \
       || echo "AB_MRPAD_CONDGRU FAIL"
+    # f0+prim candidate (flagship's 5b winner: +10.5% over f0 == shipped
+    # base under fdv — unfuse every sconv site and run the pshuf
+    # primitive everywhere) for the other two critic presets
+    timeout 4800 python scripts/step_ab.py --preset dual_stft \
+      --variant base --variant "f0prim=model.fused_shuffle_sites=0;$PSI=2" \
+      --rounds 5 --steps 8 || echo "AB_F0PRIM_DUAL FAIL"
+    timeout 4800 python scripts/step_ab.py --preset cond_gru_sc09 \
+      --variant base --variant "f0prim=model.fused_shuffle_sites=0;$PSI=2" \
+      --rounds 6 --steps 10 || echo "AB_F0PRIM_CONDGRU FAIL"
   } 2>&1 | tee bench/r5_mrpad_ab_log.txt
   for i in 1 2 3 4 5; do
     git add bench/r5_mrpad_ab_log.txt && \

@@ -56,3 +56,26 @@ def test_prim_form_step_matches_select_form_exactly():
     for l0, l1 in zip(jax.tree.leaves(st_sel.params_d),
                       jax.tree.leaves(st_prim.params_d)):
         np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+
+
+def test_model_shuffle_impl_knob_sets_the_lowering():
+    """config.ModelCfg.shuffle_impl is applied at step-build time (like
+    train.wgrad_form): "prim" traces the pshuf primitive into the step
+    graph, "select"/"" do not, and the build RESETS the module global so
+    one preset's choice never leaks into the next build in-process."""
+    import dataclasses as dc
+
+    cfg = tiny_config()
+    assert cfg.model.phase_shuffle >= 1 and cfg.model.fused_shuffle_sites == 0
+
+    def trace(c):
+        state = create_train_state(c)
+        clips, labels = raw_batch(c, seed=3)
+        return str(jax.make_jaxpr(build_train_step(c))(state, clips, labels))
+
+    prim_cfg = dc.replace(
+        cfg, model=dc.replace(cfg.model, shuffle_impl="prim")).validate()
+    assert "audiogan_pshuf" in trace(prim_cfg)
+    # a following default-config build must NOT inherit the prim setting
+    assert "audiogan_pshuf" not in trace(cfg)
+    assert ps_mod._SELECT_IMPL == ps_mod._impl_default()

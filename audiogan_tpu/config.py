@@ -356,14 +356,16 @@ def wgan_gp_b64() -> Config:
     return Config(
         name="wgan_gp_b64",
         data=DataCfg(num_classes=0, device_corpus=True),
-        # fused_shuffle_sites=1: the FIRST shuffle site (the t=4096 one,
-        # where the shifted tensor is largest) rides its consuming conv
-        # (kernels/sconv.py): +3.7% step-level vs unfused, and fusing ALL
-        # sites loses 0.8% back (fx1/fxla pairwise A/Bs, r4 batch 4;
-        # BASELINE.md) — the deeper sites' tensors are small enough that
-        # the extra reflect-pad masks cost more than the select they save.
+        # Shuffle lowering (r5 re-verdict under fused_d_views): NO sconv
+        # sites + the pshuf primitive at every site — 12.97 vs the r4
+        # fx1 default's 11.73 steps/s (+10.6%, interleaved A/B,
+        # bench/r5_pshuf_ab_log.txt). Under fdv the fused site no longer
+        # pays (f0 == fx1 at 11.73) and the hand-written pshuf transpose
+        # (one select-scatter write instead of AD's (2·rad+1)-term padded
+        # chain) wins outright. r4 history: fx1 was +3.7% over f0-select
+        # pre-fdv (BASELINE.md r4 batch 4).
         model=ModelCfg(generator="wavegan", model_dim=64,
-                       fused_shuffle_sites=1),
+                       fused_shuffle_sites=0, shuffle_impl="prim"),
         loss=LossCfg(n_critic=5),
         # wgrad_form=conv: relayout-free single-conv weight-grad contraction,
         # +2.5% step-level vs the einsum stack (r4 interleaved A/B, 6 rounds;
@@ -465,12 +467,14 @@ def music_44k_dp16() -> Config:
                      # otherwise (falls back to the host batcher with a
                      # warning when the packed corpus exceeds 8 GiB)
                      num_classes=0),
-        # fused_shuffle_sites=-1: every site fused (+1.1%, r4 batch-2 A/B
-        # at dp=1 — the t=25200 select_n was 7.4% of the music profile;
-        # the all-xla router makes tier passthrough a no-op here)
+        # Shuffle lowering (r5 re-verdict under fused_d_views): unfused +
+        # pshuf primitive beats the r4 fused-all default +10.3% (2.548 vs
+        # 2.309 steps/s dp=1, interleaved A/B, bench/r5_pshuf_ab_log.txt)
+        # — the hand-written transpose removes the t=25200-row padded
+        # add_any chains that fusing only partially avoided.
         model=ModelCfg(generator="wavegan", model_dim=64,
                        strides=(7, 7, 5, 5, 3), kernel_size=25,
-                       fused_shuffle_sites=-1),
+                       fused_shuffle_sites=0, shuffle_impl="prim"),
         loss=LossCfg(n_critic=5),
         # wgrad_form=conv is the music preset's single biggest r4 win:
         # +25.9% step-level (1.45 -> 1.83 steps/s dp=1, interleaved A/B) —

@@ -220,20 +220,22 @@ timeout 2400 python -m audiogan_tpu.cli eval --workdir "$M" --num 128 \
   || echo "MUSIC_EVAL_FAIL 5000"
 mpersist "5000+eval"
 
-echo "===== (3) pending fused-shuffle pairwise A/Bs ====="
+echo "===== (3) sconv fused-site re-adjudication under the r5 stack ====="
+# The r4 pending pairwise (cond_gru/music fxla-vs-fx1) is moot: under
+# fused_d_views the 5b/5c legs re-decided the shuffle lowering outright
+# (flagship/music ship f0+prim). What remains open: does fusing a site
+# into its conv (sconv) pay ON TOP of the prim impl at the presets'
+# final defaults? Pairwise, each preset's shipped config as base.
 F=model.fused_shuffle_sites
+timeout 4800 python scripts/step_ab.py --preset wgan_gp_b64 \
+  --variant base --variant "fx1=$F=1" \
+  --rounds 6 --steps 10 || echo "AB_SCONV_FLAGSHIP FAIL"
 timeout 4800 python scripts/step_ab.py --preset cond_gru_sc09 \
-  --variant "fxla=$F=-1" --variant "fx1=$F=1" \
-  --rounds 6 --steps 10 || echo "AB_CG_A FAIL"
-timeout 4800 python scripts/step_ab.py --preset cond_gru_sc09 \
-  --variant "fx1=$F=1" --variant "f0=$F=0" \
-  --rounds 6 --steps 10 || echo "AB_CG_B FAIL"
-timeout 4800 python scripts/step_ab.py --preset music_44k_dp16 \
-  --variant "fxla=$F=-1" --variant "fx1=$F=1" \
-  --rounds 6 --steps 10 || echo "AB_MU_A FAIL"
-timeout 4800 python scripts/step_ab.py --preset music_44k_dp16 \
-  --variant "fx1=$F=1" --variant "f0=$F=0" \
-  --rounds 6 --steps 10 || echo "AB_MU_B FAIL"
+  --variant base --variant "fxla=$F=-1" \
+  --rounds 6 --steps 10 || echo "AB_SCONV_CONDGRU FAIL"
+timeout 4800 python scripts/step_ab.py --preset dual_stft \
+  --variant base --variant "fx1=$F=1" \
+  --rounds 5 --steps 8 || echo "AB_SCONV_DUAL FAIL"
 cp -f "$LOG" bench/r5_queue_log.txt
 for i in 1 2 3 4 5; do
   git add bench/r5_queue_log.txt && \

@@ -227,15 +227,21 @@ echo "===== (3) sconv fused-site re-adjudication under the r5 stack ====="
 # into its conv (sconv) pay ON TOP of the prim impl at the presets'
 # final defaults? Pairwise, each preset's shipped config as base.
 F=model.fused_shuffle_sites
+# deciders for the two presets still on r4 defaults (their 5c f0prim
+# legs were edited in after bash had parsed the block and never ran):
+# base = shipped (cond_gru fxla-fused / dual fx1-fused, select impl)
+# vs the flagship/music winner (no sconv sites + pshuf primitive).
+timeout 4800 python scripts/step_ab.py --preset dual_stft \
+  --variant base --variant "f0prim=$F=0;model.shuffle_impl=prim" \
+  --rounds 5 --steps 8 || echo "AB_F0PRIM_DUAL FAIL"
+timeout 4800 python scripts/step_ab.py --preset cond_gru_sc09 \
+  --variant base --variant "f0prim=$F=0;model.shuffle_impl=prim" \
+  --rounds 6 --steps 10 || echo "AB_F0PRIM_CONDGRU FAIL"
+# does fusing a site back IN (sconv) pay on top of prim at the
+# flagship's final default?
 timeout 4800 python scripts/step_ab.py --preset wgan_gp_b64 \
   --variant base --variant "fx1=$F=1" \
   --rounds 6 --steps 10 || echo "AB_SCONV_FLAGSHIP FAIL"
-timeout 4800 python scripts/step_ab.py --preset cond_gru_sc09 \
-  --variant base --variant "fxla=$F=-1" \
-  --rounds 6 --steps 10 || echo "AB_SCONV_CONDGRU FAIL"
-timeout 4800 python scripts/step_ab.py --preset dual_stft \
-  --variant base --variant "fx1=$F=1" \
-  --rounds 5 --steps 8 || echo "AB_SCONV_DUAL FAIL"
 cp -f "$LOG" bench/r5_queue_log.txt
 for i in 1 2 3 4 5; do
   git add bench/r5_queue_log.txt && \

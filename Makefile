@@ -4,7 +4,7 @@
         tpu-fidelity tpu-session tpu-compare verify proxy clean
 
 test:            ## CPU suite minus @slow (164 tests, 3m29s warm, 2026-08-17)
-	PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q -m "not slow"
+	PALLAS_AXON_POOL_IPS= python -m pytest tests/ -m "not slow"
 
 test-smoke:      ## cold-checkout signal in <5 min (VERDICT r3 #9): the op/
 	## kernel/data/loss layers, whose tests compile only small jit graphs.
@@ -12,10 +12,10 @@ test-smoke:      ## cold-checkout signal in <5 min (VERDICT r3 #9): the op/
 	## ~14 s EACH cold on this 1-core host — run `make test` after this
 	## passes (or to prime .jax_cache; warm they reload in ~1.5 s).
 	PALLAS_AXON_POOL_IPS= python -m pytest tests/ops tests/data \
-	  tests/losses tests/pallas tests/models tests/serve -q -m "not slow"
+	  tests/losses tests/pallas tests/models tests/serve -m "not slow"
 
 test-all:        ## the whole suite including the slow subprocess tests
-	PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q
+	PALLAS_AXON_POOL_IPS= python -m pytest tests/
 
 native:          ## build the C++ host components
 	$(MAKE) -C csrc

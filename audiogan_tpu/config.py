@@ -389,12 +389,15 @@ def cond_gru_sc09() -> Config:
     return Config(
         name="cond_gru_sc09",
         data=DataCfg(num_classes=10, device_corpus=True),
-        # fused_shuffle_sites=-1: +1.9% (r4 batch-3 A/B; 1.028 pre-
-        # passthrough-fix). fx1-vs-fxla pairwise pending (batch 5) — the
-        # flagship's identical critic preferred fx1 by 0.8%.
+        # Shuffle lowering (r5 decider under fused_d_views): NO sconv
+        # sites + the pshuf primitive at every site — 13.07 vs 11.57
+        # steps/s over the r4 fxla default (+12.4%, 6x10 interleaved,
+        # bench/r5_f0prim_ab_log.txt), the same verdict as the flagship
+        # and music. (r4 history: fused_shuffle_sites=-1 was +1.9% over
+        # select-unfused pre-fdv.)
         model=ModelCfg(generator="gru", model_dim=64,
                        gru_frame_size=64, gru_hidden=512,
-                       fused_shuffle_sites=-1),
+                       fused_shuffle_sites=0, shuffle_impl="prim"),
         loss=LossCfg(n_critic=5),
         # auto: fused GRU scan (1.21x on-HW) + per-geometry conv routing;
         # wgrad_form=conv +3.3% (r4 A/B); bf16 = headline operating point;

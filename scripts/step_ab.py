@@ -37,6 +37,16 @@ def main():
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--sequential", action="store_true",
+                    help="hold ONE variant resident at a time (rebuild per "
+                         "block, free before the next): the default "
+                         "all-resident interleave spills HBM on heavy "
+                         "configs — dual_stft+fused_d_views at batch 64 "
+                         "ran 0.34 steps/s vs its 8.1 operating point "
+                         "with two resident graphs (2026-08-20). Blocks "
+                         "alternate A/B per round with the order flipped "
+                         "each round (ABBA); the persistent compile cache "
+                         "makes the per-block re-jit a cached load.")
     args = ap.parse_args()
     print("backend:", jax.default_backend(), flush=True)
 
@@ -47,13 +57,8 @@ def main():
     from audiogan_tpu.utils.xla_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    runs = {}
-    for spec in args.variant:
-        name, _, ovs = spec.partition("=")
-        sets = [o for o in ovs.split(";") if o]
-        gvars, csets = [], []
-        for o in sets:
-            (gvars if o.startswith("gvar:") else csets).append(o)
+
+    def apply_gvars(gvars):
         saved = []
         for o in gvars:
             path, _, val = o[len("gvar:"):].partition("=")
@@ -66,6 +71,10 @@ def main():
             except ValueError:
                 parsed = val  # string-valued globals (e.g. tier names)
             setattr(mod, attr, parsed)
+        return saved
+
+    def build(name, gvars, csets, quiet=False):
+        saved = apply_gvars(gvars)
         cfg = apply_overrides(get_preset(args.preset),
                               [f"train.dtype={args.dtype}"] + csets)
         state = create_train_state(cfg)
@@ -85,10 +94,59 @@ def main():
         state, metrics = step(state, clips, labels)
         state, metrics = step(state, clips, labels)
         float(metrics["d_loss"])
-        print(f"{name}: compiled+warm in {time.perf_counter()-t0:.1f}s",
-              flush=True)
+        if not quiet:
+            print(f"{name}: compiled+warm in {time.perf_counter()-t0:.1f}s",
+                  flush=True)
         for mod, attr, old in saved:
             setattr(mod, attr, old)
+        return step, state, clips, labels
+
+    if args.sequential:
+        import gc
+
+        specs = []
+        for spec in args.variant:
+            name, _, ovs = spec.partition("=")
+            sets = [o for o in ovs.split(";") if o]
+            specs.append((name,
+                          [o for o in sets if o.startswith("gvar:")],
+                          [o for o in sets if not o.startswith("gvar:")]))
+        times = {name: [] for name, _, _ in specs}
+        for r in range(args.rounds):
+            idxs = range(len(specs)) if r % 2 == 0 else \
+                reversed(range(len(specs)))
+            for i in idxs:
+                name, gvars, csets = specs[i]
+                step, state, clips, labels = build(name, gvars, csets,
+                                                   quiet=r > 0)
+                t0 = time.perf_counter()
+                for _ in range(args.steps):
+                    state, metrics = step(state, clips, labels)
+                float(metrics["d_loss"])
+                times[name].append(args.steps / (time.perf_counter() - t0))
+                print(f"  round {r} {name}: {times[name][-1]:.4f} steps/s",
+                      flush=True)
+                del step, state, clips, labels, metrics
+                gc.collect()
+        base_name = specs[0][0]
+        for name, _, _ in specs:
+            med = statistics.median(times[name])
+            line = f"{name}: median {med:.4f} steps/s"
+            if name != base_name:
+                ratios = [t / b for t, b in zip(times[name],
+                                                times[base_name])]
+                line += f"  per-round ratio vs {base_name}: " \
+                        f"{statistics.median(ratios):.3f}"
+            print(line, flush=True)
+        return
+
+    runs = {}
+    for spec in args.variant:
+        name, _, ovs = spec.partition("=")
+        sets = [o for o in ovs.split(";") if o]
+        gvars = [o for o in sets if o.startswith("gvar:")]
+        csets = [o for o in sets if not o.startswith("gvar:")]
+        step, state, clips, labels = build(name, gvars, csets)
         runs[name] = [step, state, clips, labels, []]
 
     order0 = list(runs)

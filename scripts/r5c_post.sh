@@ -22,7 +22,17 @@ while ! grep -q "r5b_queue done" /tmp/r5b_queue.log 2>/dev/null; do
   sleep 60
 done
 
+# Absolute cutoffs: the driver runs bench.py on this chip at round end
+# (~00:10); nothing here may still hold the chip then. Stage A ~12 min,
+# B ~8 min, C ~15 min.
+NOW() { date +%s; }
+T_A=$(date -d "23:52" +%s); T_B=$(date -d "23:56" +%s)
+T_C=$(date -d "23:48" +%s)
+
 echo "===== (A) dual f0prim decider, sequential (attempt 3) ====="
+if [ "$(NOW)" -gt "$T_A" ]; then
+  echo "past cutoff — stage A skipped"; exit 0
+fi
 timeout 2400 python scripts/step_ab.py --preset dual_stft \
   --variant base --variant "f0prim=model.fused_shuffle_sites=0;model.shuffle_impl=prim" \
   --rounds 4 --steps 16 --sequential \
@@ -35,28 +45,7 @@ for i in 1 2 3 4 5; do
   sleep 7
 done
 
-echo "===== (B) verify flows 2+3 at final HEAD ====="
-V=/tmp/vrun_r5c
-rm -rf "$V" /tmp/vsamp_a /tmp/vsamp_b
-timeout 1800 python -m audiogan_tpu.cli train --preset tiny_sc09 \
-  --data_dir '' --total_steps 5 --workdir "$V" \
-  || echo "VERIFY_TRAIN FAIL"
-timeout 1200 python -m audiogan_tpu.cli sample --workdir "$V" --num 4 \
-  --seed 0 --out_dir /tmp/vsamp_a || echo "VERIFY_SAMPLE_A FAIL"
-timeout 1200 python -m audiogan_tpu.cli sample --workdir "$V" --num 4 \
-  --seed 0 --out_dir /tmp/vsamp_b || echo "VERIFY_SAMPLE_B FAIL"
-if diff -r /tmp/vsamp_a /tmp/vsamp_b > /dev/null; then
-  echo "VERIFY_SAMPLE_DETERMINISM PASS"
-else
-  echo "VERIFY_SAMPLE_DETERMINISM FAIL"
-fi
-cp -f /tmp/r5c_post.log bench/r5c_post_log.txt
-for i in 1 2 3 4 5; do
-  git add bench/r5c_post_log.txt && \
-  git commit -m "r5: on-chip verify flows at final HEAD" && break
-  sleep 7
-done
-
+if [ "$(NOW)" -lt "$T_C" ]; then
 echo "===== (C) music clean direct-SIGKILL + resume ====="
 M=/tmp/music_r5
 LAST=$(ls "$M/ckpt" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)
@@ -95,4 +84,35 @@ for i in 1 2 3 4 5; do
   && break
   sleep 7
 done
+else
+  echo "past cutoff — stage C skipped"
+fi
+
+if [ "$(NOW)" -lt "$T_B" ]; then
+echo "===== (B) verify flows 2+3 at final HEAD ====="
+V=/tmp/vrun_r5c
+rm -rf "$V" /tmp/vsamp_a /tmp/vsamp_b
+timeout 1800 python -m audiogan_tpu.cli train --preset tiny_sc09 \
+  --data_dir '' --total_steps 5 --workdir "$V" \
+  || echo "VERIFY_TRAIN FAIL"
+timeout 1200 python -m audiogan_tpu.cli sample --workdir "$V" --num 4 \
+  --seed 0 --out_dir /tmp/vsamp_a || echo "VERIFY_SAMPLE_A FAIL"
+timeout 1200 python -m audiogan_tpu.cli sample --workdir "$V" --num 4 \
+  --seed 0 --out_dir /tmp/vsamp_b || echo "VERIFY_SAMPLE_B FAIL"
+if diff -r /tmp/vsamp_a /tmp/vsamp_b > /dev/null; then
+  echo "VERIFY_SAMPLE_DETERMINISM PASS"
+else
+  echo "VERIFY_SAMPLE_DETERMINISM FAIL"
+fi
+cp -f /tmp/r5c_post.log bench/r5c_post_log.txt
+for i in 1 2 3 4 5; do
+  git add bench/r5c_post_log.txt && \
+  git commit -m "r5: on-chip verify flows at final HEAD" && break
+  sleep 7
+done
+
+else
+  echo "past cutoff — stage B skipped"
+fi
+
 echo "===== r5c_post done ====="

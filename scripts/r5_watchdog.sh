@@ -45,7 +45,15 @@ while kill -0 "$ROOT" 2>/dev/null; do
     [ "$comm" = "python" ] || [ "$comm" = "python3" ] || continue
     ut=$(awk '{print $14+$15}' /proc/$p/stat 2>/dev/null) || continue
     wchan=$(cat /proc/$p/wchan 2>/dev/null)
-    if [ "${UT[$p]:-}" = "$ut" ] && [ "$wchan" = "futex_do_wait" ]; then
+    # NEAR-flat, not exactly flat: hung clients keep a heartbeat thread
+    # that creeps utime ~5 jiffies/min (observed on both 2026-08-20
+    # hangs), so an equality test never fires. Real work burns >100
+    # jiffies/min even during remote compiles (the host side spins on
+    # serialization); < 10 jiffies per 60 s poll = effectively idle.
+    prev=${UT[$p]:-}
+    if [ -n "$prev" ] && [ $((ut - prev)) -lt 10 ] && \
+       [ "$wchan" = "futex_do_wait" ]; then
+      UT[$p]=$ut
       if [ $((now - ${T0[$p]:-$now})) -ge "$THRESH" ]; then
         echo "$(date -u +%H:%M:%S) KILL $p (utime flat ${THRESH}s+ in" \
              "futex_do_wait): $(tr '\0' ' ' < /proc/$p/cmdline | cut -c1-160)"

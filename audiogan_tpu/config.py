@@ -412,11 +412,15 @@ def dual_stft() -> Config:
     return Config(
         name="dual_stft",
         data=DataCfg(num_classes=0, device_corpus=True),
-        # fused_shuffle_sites=1 (wave critic): +2.9% vs unfused, all-sites
-        # only +1.0% (r4 batch-3 A/B — same shape of verdict as the
-        # flagship's; the STFT critic has no shuffle sites)
+        # Shuffle lowering (r5 decider under fused_d_views, sequential
+        # A/B — the resident harness spills HBM on this preset): NO
+        # sconv sites + the pshuf primitive — 8.93 vs 8.20 steps/s over
+        # the r4 fx1 default (+8.9%, bench/r5_dual_seq_ab_log.txt), the
+        # same verdict as the other three TPU-scale presets. (r4
+        # history: fused_shuffle_sites=1 was +2.9% pre-fdv; the STFT
+        # critic has no shuffle sites.)
         model=ModelCfg(generator="wavegan", model_dim=64, use_stft_critic=True,
-                       fused_shuffle_sites=1),
+                       fused_shuffle_sites=0, shuffle_impl="prim"),
         loss=LossCfg(n_critic=5, stft_loss_weight=1.0),
         # auto: wave G/D geometry identical to the flagship (the measured
         # routing transfers); the STFT critic's 2D convs stay XLA;

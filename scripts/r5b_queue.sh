@@ -70,6 +70,11 @@ while kill -0 "$MPID" 2>/dev/null; do
   STEP=$(tail -1 "$M/metrics.jsonl" 2>/dev/null | grep -o '"step": [0-9]*' \
          | grep -o '[0-9]*')
   if [ -n "$STEP" ] && [ "$STEP" -ge 1200 ]; then
+    # BUG (kept for the record, fixed in r5c_post.sh): $MPID is the
+    # `timeout` WRAPPER; SIGKILL is not forwardable, so this orphaned
+    # the python trainer and the leg became a dual-writer stress test
+    # (bit-identical streams, zero damage — BASELINE.md music section).
+    # Kill the python CHILD of $MPID to actually kill the trainer.
     echo "MUSIC_SIGKILL at step $STEP"; kill -9 "$MPID"; break
   fi
   sleep 30
